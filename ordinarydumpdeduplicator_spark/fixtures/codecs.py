@@ -1,0 +1,185 @@
+"""Deterministic image codecs for the synthetic corpus (pure numpy + zlib).
+
+The container has no image libraries, so the fixture corpus uses three real,
+self-contained codecs over uint8 RGB pixel arrays:
+
+- ``bmp``  — genuine uncompressed 24-bit Windows BMP (readable by any tool).
+- ``png``  — genuine minimal PNG (8-bit RGB, filter type 0, one IDAT),
+             decodable by any PNG reader; our decoder handles exactly what
+             our encoder emits.
+- ``jpg``  — deterministic *simulated* lossy codec ("LJPG"): pixels are
+             quantized to a fixed step then zlib-compressed in a tiny
+             container. Decode(encode(x)) differs from x like a mild JPEG
+             would, with PSNR >= 40 dB guaranteed by the quantization step
+             (q=6 -> MSE <= q^2/12 = 3 -> PSNR >= 43 dB), matching the
+             BASELINE.json per-row fidelity invariant. Real JPEG decode is
+             out of scope for this container (no libjpeg); the Spark-side
+             plumbing (binary column -> mapInPandas decode) is identical.
+
+Unreadable payloads (truncated header / garbage) raise ``ValueError`` from
+``decode``; the pipeline maps that to status='unreadable' — the analogue of
+the reference's BrokenBlobInfo (Common/BlobInfo.cs:53-55,
+OrdinaryDumpDeduplicator/OrdinaryDumpDeduplicator.cs:119-125).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+LJPG_MAGIC = b"LJPG"
+LJPG_QUANT = 6  # quantization step -> PSNR ~ 43 dB vs source pixels
+
+
+# ---------------------------------------------------------------- BMP (real)
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode HxWx3 uint8 RGB as an uncompressed 24-bit BMP."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    image_size = row_size * h
+    file_size = 54 + image_size
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", file_size, 0, 0, 54,
+        40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0,
+    )
+    # BMP stores bottom-up BGR rows padded to 4 bytes.
+    bgr = pixels[::-1, :, ::-1]
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    w = struct.unpack_from("<i", data, 18)[0]
+    h = struct.unpack_from("<i", data, 22)[0]
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    if bpp != 24 or w <= 0 or h <= 0:
+        raise ValueError("unsupported BMP")
+    row_size = (w * 3 + 3) & ~3
+    need = offset + row_size * h
+    if len(data) < need:
+        raise ValueError("truncated BMP")
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=offset)
+    rows = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1, :, ::-1].copy()  # bottom-up BGR -> top-down RGB
+
+
+# ---------------------------------------------------------------- PNG (real)
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal valid PNG: 8-bit RGB, no interlace, filter 0 on every row."""
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, None, None, b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) < length:
+            raise ValueError("truncated PNG")
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack_from(">IIBB", payload, 0)
+            if depth != 8 or ctype != 2:
+                raise ValueError("unsupported PNG")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("bad PNG")
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if raw.size != h * (1 + w * 3):
+        raise ValueError("bad PNG payload size")
+    rows = raw.reshape(h, 1 + w * 3)
+    if np.any(rows[:, 0] != 0):
+        raise ValueError("unsupported PNG filter")
+    return rows[:, 1:].reshape(h, w, 3).copy()
+
+
+# ------------------------------------------------- LJPG (simulated lossy)
+
+
+def encode_ljpg(pixels: np.ndarray, quant: int = LJPG_QUANT) -> bytes:
+    """Deterministic lossy encode: quantize pixels to step `quant`, zlib."""
+    h, w, _ = pixels.shape
+    q = np.clip(
+        (pixels.astype(np.int32) + quant // 2) // quant * quant, 0, 255
+    ).astype(np.uint8)
+    header = LJPG_MAGIC + struct.pack("<HHB", w, h, quant)
+    return header + zlib.compress(q.tobytes(), 6)
+
+
+def decode_ljpg(data: bytes) -> np.ndarray:
+    if len(data) < 9 or data[:4] != LJPG_MAGIC:
+        raise ValueError("not an LJPG")
+    w, h, _quant = struct.unpack_from("<HHB", data, 4)
+    raw = np.frombuffer(zlib.decompress(data[9:]), dtype=np.uint8)
+    if raw.size != h * w * 3:
+        raise ValueError("bad LJPG payload size")
+    return raw.reshape(h, w, 3).copy()
+
+
+# ------------------------------------------------------------- dispatcher
+
+_ENCODERS = {"bmp": encode_bmp, "png": encode_png, "jpg": encode_ljpg}
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    return _ENCODERS[fmt](pixels)
+
+
+def decode(data: bytes | None) -> np.ndarray:
+    """Decode any supported payload; raise ValueError if unreadable."""
+    if data is None or len(data) == 0:
+        raise ValueError("empty payload")
+    head = bytes(data[:8])
+    if head[:2] == b"BM":
+        return decode_bmp(bytes(data))
+    if head[:4] == b"\x89PNG":
+        return decode_png(bytes(data))
+    if head[:4] == LJPG_MAGIC:
+        return decode_ljpg(bytes(data))
+    raise ValueError("unknown format")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (inf for identical arrays)."""
+    if a.shape != b.shape:
+        raise ValueError("shape mismatch")
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)

@@ -1,0 +1,98 @@
+"""MinHash signatures over caption shingles — vectorized Arrow UDF.
+
+The near-dup analogue of the reference's single content feature (SHA-1,
+Common/FsUtils.cs:39-54): instead of one exact hash per payload, we compute
+``NUM_HASHES`` min-wise hashes over the caption's word-shingle set, so that
+P[minhash_j(A) == minhash_j(B)] = Jaccard(A, B).
+
+Hash family: multiply-shift universal hashing over the stable 64-bit shingle
+hashes — ``h_j(x) = ((a_j * x + b_j) mod 2^64) >> 32`` with seeded odd
+``a_j``. Entirely numpy inside a pandas UDF (Arrow batches, no per-row
+Python — BASELINE.json input_hint).
+
+LSH parameters: NUM_HASHES = BANDS * ROWS_PER_BAND = 32 * 4. Detection
+probability 1-(1-J^4)^32: J=0.9 -> ~1.0, J=0.7 -> 0.9998, J=0.5 -> 0.87.
+Chosen so the >=0.99 dup-pair recall target holds for the J>=0.65 golden
+tier with margin (SURVEY.md §7 phase 4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import SHINGLE_K, jaccard, shingle_hashes, shingles
+
+NUM_HASHES = 128
+BANDS = 32
+ROWS_PER_BAND = 4
+_HASH_SEED = 0x5EED_0DD0
+
+
+def _coeffs(num_hashes: int = NUM_HASHES, seed: int = _HASH_SEED):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 63, size=num_hashes, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+_A, _B = _coeffs()
+
+
+def minhash_signature(text: str | None, k: int = SHINGLE_K) -> list[int] | None:
+    """Pure-python/numpy signature for one text (oracle + generator side).
+
+    Returns None for texts with no shingles (empty caption)."""
+    sh = shingle_hashes(text, k)
+    if sh.size == 0:
+        return None
+    # (num_hashes, n_shingles) multiply-shift, min over shingles
+    with np.errstate(over="ignore"):
+        vals = (_A[:, None] * sh[None, :] + _B[:, None]) >> np.uint64(32)
+    return vals.min(axis=1).astype(np.int64).tolist()
+
+
+def minhash_signature_batch(texts: pd.Series) -> pd.Series:
+    """Vectorized batch: one Arrow batch of captions -> signatures.
+
+    Shingle-hash arrays for the whole batch are concatenated and all
+    NUM_HASHES functions are applied in one numpy pass; per-document minima
+    come from ``np.minimum.reduceat`` over segment offsets — no per-row
+    numpy re-dispatch."""
+    hash_arrays = [shingle_hashes(t) for t in texts]
+    lengths = np.array([h.size for h in hash_arrays], dtype=np.int64)
+    nonempty = lengths > 0
+    if not nonempty.any():
+        return pd.Series([None] * len(texts), index=texts.index, dtype=object)
+    concat = np.concatenate([h for h in hash_arrays if h.size])
+    with np.errstate(over="ignore"):
+        vals = (_A[:, None] * concat[None, :] + _B[:, None]) >> np.uint64(32)
+    offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
+    mins = np.minimum.reduceat(vals, offsets, axis=1).astype(np.int64)
+    out: list[list[int] | None] = [None] * len(texts)
+    j = 0
+    for i, ne in enumerate(nonempty):
+        if ne:
+            out[i] = mins[:, j].tolist()
+            j += 1
+    return pd.Series(out, index=texts.index, dtype=object)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_udf(captions: pd.Series) -> pd.Series:
+    return minhash_signature_batch(captions)
+
+
+def exact_jaccard(text_a: str | None, text_b: str | None) -> float:
+    """Slow exact word-shingle Jaccard (verification oracle)."""
+    return jaccard(shingles(text_a), shingles(text_b))
+
+
+@F.pandas_udf(T.DoubleType())
+def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [exact_jaccard(x, y) for x, y in zip(a, b)], index=a.index, dtype=float
+    )

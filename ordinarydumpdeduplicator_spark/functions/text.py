@@ -1,0 +1,98 @@
+"""Text normalization, tokenization, shingling — shared definitions.
+
+The same tokenization must be used by the fixture generator (ground truth),
+the pure-Python oracles, and the Spark-side expressions, or recall numbers
+are meaningless. Keep it trivial and keep the two implementations in
+lockstep:
+
+    python:  text.lower().split()
+    spark:   F.filter(F.split(F.lower(col), r'\\s+'), x -> x != '')
+
+Shingles are word k-grams (k=3). Captions shorter than k tokens produce a
+single shingle of all tokens; empty/whitespace captions produce NO shingles
+and are excluded from the caption near-dup path (they still cluster via
+exact bytes / phash). This mirrors how the reference gives empty *content*
+a canonical identity (Common/BlobInfo.cs:44-51) while excluding broken
+content from grouping (DataControllerSimple.cs:263-275).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SHINGLE_K = 3
+
+
+# ---------------------------------------------------------------- python side
+
+
+def tokens(text: str | None) -> list[str]:
+    if not text:
+        return []
+    return text.lower().split()
+
+
+def shingles(text: str | None, k: int = SHINGLE_K) -> set[str]:
+    """Word k-gram shingles as space-joined strings."""
+    toks = tokens(text)
+    if not toks:
+        return set()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def shingle_hash64(s: str) -> int:
+    """Stable 64-bit shingle hash (process-independent, unlike hash())."""
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+def shingle_hashes(text: str | None, k: int = SHINGLE_K) -> np.ndarray:
+    return np.fromiter(
+        (shingle_hash64(s) for s in shingles(text, k)), dtype=np.uint64
+    )
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+# ----------------------------------------------------------------- spark side
+
+
+def tokens_col(col: str | Column) -> Column:
+    """Spark expression equal to python ``tokens`` (JVM-side, codegen'd)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+
+
+def token_count_col(col: str | Column) -> Column:
+    return F.size(tokens_col(col))
+
+
+def quality_score_cols(col: str | Column) -> dict[str, Column]:
+    """Heuristic quality features (training-data pipeline style), all
+    built-in functions so they stay inside whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens_col(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "n_punct": n_punct.cast("long"),
+        "avg_token_len": F.when(n_tokens > 0, (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+            / n_tokens
+        )).otherwise(F.lit(0.0)).cast("double"),
+    }

@@ -1,0 +1,119 @@
+"""Distributed connected components — GraphFrames-free union-find.
+
+The alternating large-star / small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14), expressed as
+iterative DataFrame self-joins. Converges in O(log^2 n) rounds; every round
+is one shuffle (groupBy src) + one projection. ``localCheckpoint`` after
+each round cuts the lineage so the plan doesn't grow exponentially
+(SURVEY.md §4 item 2). The reference's miniature analogue is the naive
+recursive subdirectory closure (DataControllerSimple.cs:364-386) — same
+fixpoint shape, driver-side.
+
+Node ids are the (string) image ids; the final component id is the
+lexicographic min member — matching the engine-wide convention
+cluster_id = min(image_id).
+
+Invariants maintained on the edge frame between rounds: src != dst, and
+edges are kept as undirected pairs represented in both-direction form only
+inside a round (the stored frame is deduplicated (min,max) pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected form: (u=min, v=max), deduped, no self-loops."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: attach strictly-larger neighbors to m = min(N(u) ∪ u)."""
+    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    )
+    joined = sym.join(m, "u")
+    return (
+        joined.filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u (over edges directed larger->smaller): attach all
+    smaller-or-equal neighbors and u itself to m = min(N(u) ∪ u)."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = directed.groupBy("u").agg(F.min("v").alias("m"))
+    joined = directed.join(m, "u")
+    out = joined.select(F.col("v").alias("src"), F.col("m").alias("dst")).union(
+        m.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    )
+    return out
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, checkpoint: bool = True
+) -> DataFrame:
+    """edges(src, dst) -> assignments(image_id, cluster_id).
+
+    cluster_id = min image_id of the component. Nodes appearing in no edge
+    are absent (callers union isolated nodes back if needed)."""
+    e = _canon(edges)
+    if checkpoint:
+        e = e.localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _canon(_large_star(e))
+        e = _canon(_small_star(e))
+        if checkpoint:
+            e = e.localCheckpoint()
+        # fixpoint: the edge set is stable — order-insensitive signature
+        # via count + bit_xor of row hashes (xor is overflow-free under ANSI
+        # mode and collision-safe here because edges are distinct rows)
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        cur_sig = (sig["n"], sig["h"])
+        if cur_sig == prev_sig:
+            break
+        prev_sig = cur_sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # converged star forest in canonical (u=min, v=max) form: u is the root
+    members = e.select(F.col("v").alias("image_id"), F.col("u").alias("cluster_id"))
+    roots = e.select(F.col("u").alias("image_id"), F.col("u").alias("cluster_id")).distinct()
+    return members.union(roots).distinct()
+
+
+# ------------------------------------------------------------ python oracle
+
+
+def uf_components(edges: list[tuple[str, str]]) -> dict[str, str]:
+    """Union-find oracle for tests: node -> min-member component id."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}

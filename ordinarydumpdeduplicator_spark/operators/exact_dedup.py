@@ -1,0 +1,64 @@
+"""Exact-content duplicate grouping — the reference's core operator.
+
+Reproduces ``DataControllerSimple.GetDuplicates``
+(OrdinaryDumpDeduplicator/DataController/DataControllerSimple.cs:247-304):
+
+    latest-inspection states  (P1 — done upstream in operators/states.py)
+    -> filter readable:  size >= 0          (P2, :263-275)
+    -> group by content key (size, sha)     (O1, :252-285)
+    -> HAVING count > 1                     (O2, :288-301)
+
+expressed as a single window over the content key — ONE shuffle, no
+collect_list of members (the reference builds `BlobInfo -> set<File>`
+dictionaries; at 10^12 rows a per-group member list would OOM, so the
+cluster id IS the min member id and membership stays row-wise).
+
+Plan notes (verified via .explain): the filter is pushed below the window
+exchange; the window sort is on (size, sha, image_id) after a hash
+exchange on (size, sha) — no second shuffle for the HAVING because
+count(*) over the same partition reuses the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def readable(features: DataFrame) -> DataFrame:
+    """P2/P3: drop Broken-sentinel rows (size<0 / missing sha) exactly as
+    the reference's `blobInfo.Size >= 0` guard (DataControllerSimple.cs:265)."""
+    return features.filter((F.col("size") >= 0) & F.col("sha").isNotNull())
+
+
+def exact_clusters(features: DataFrame, require_dupes: bool = True) -> DataFrame:
+    """(image_id, size, sha) -> (image_id, cluster_id, n_members, size, sha).
+
+    cluster_id = min(image_id) within the content-key group; with
+    require_dupes (HAVING n>1) singletons are dropped — duplicate groups
+    only, as GetDuplicates returns (DataControllerSimple.cs:288-301)."""
+    w = Window.partitionBy("size", "sha")
+    out = (
+        readable(features)
+        .select("image_id", "size", "sha")
+        .withColumn("cluster_id", F.min("image_id").over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+    )
+    if require_dupes:
+        out = out.filter(F.col("n_members") > 1)
+    return out
+
+
+def exact_edges(features: DataFrame) -> DataFrame:
+    """Star edges (member -> min member) within each exact group: the
+    linear-size edge representation of each duplicate clique, fed to
+    connected components alongside near-dup edges."""
+    c = exact_clusters(features, require_dupes=True)
+    return (
+        c.filter(F.col("image_id") != F.col("cluster_id"))
+        .select(
+            F.col("cluster_id").alias("src"),
+            F.col("image_id").alias("dst"),
+            F.lit("exact").alias("kind"),
+        )
+    )

@@ -1,0 +1,127 @@
+"""Feature extraction: ONE vectorized pass over the heavy `bytes` column.
+
+Reference analogue: the inspection's hash stage — sequential per-file
+SHA-1 with error sentinels (OrdinaryDumpDeduplicator.cs:107-130,
+Common/FsUtils.cs:39-54). Here it is a single ``mapInPandas`` stage that
+reads each Arrow batch of rows once and emits a *compact* feature row
+(couple hundred bytes) per image:
+
+- ``size``/``sha``: exact content key — (size, sha256) mirrors BlobInfo
+  equality (Common/BlobInfo.cs:143-164). Unreadable rows get the Broken
+  sentinel ``size=-1, sha=NULL`` (Common/BlobInfo.cs:53-55) and are later
+  excluded by the ``size >= 0`` guard (DataControllerSimple.cs:263-275).
+  Empty payloads keep ``size=0`` + the canonical empty-content sha, so all
+  empties form one REAL duplicate group (Common/BlobInfo.cs:44-51).
+- ``phash_v``: perceptual hash recomputed from decoded pixels (verifies the
+  input ``phash`` column); NULL when undecodable.
+- ``minhash``: caption shingle MinHash signature (array<long>, NULL when
+  the caption has no shingles).
+- ``caption_sha``: sha256 of the normalized caption — exact-caption
+  pre-grouping key that removes identical-caption skew *before* LSH.
+- ``simhash``: 64-bit SimHash over caption tokens (secondary text feature).
+
+At 100 TB the point of this design: every downstream stage (grouping, LSH,
+connected components, reports) shuffles only these compact features; the
+multi-MB ``bytes`` column never moves through a shuffle. Arrow batch size
+is capped (session.ARROW_MAX_RECORDS) to bound executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..fixtures import codecs
+from ..functions.minhash import minhash_signature_batch
+from ..functions.phash import phash64
+from ..functions.text import tokens
+
+FEATURES_SCHEMA = (
+    "image_id string, size bigint, sha string, status string, "
+    "w_actual int, h_actual int, phash_v bigint, "
+    "caption_sha string, simhash bigint, minhash array<bigint>"
+)
+
+# sha256 of empty input — the analogue of the reference's hard-coded
+# canonical empty-SHA1 da39a3ee... (Common/BlobInfo.cs:49-51).
+EMPTY_SHA256 = hashlib.sha256(b"").hexdigest()
+
+
+def simhash64(toks: list[str]) -> int:
+    """64-bit SimHash over token hashes (unit weights)."""
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in toks:
+        h = int.from_bytes(
+            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
+        )
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    v = 0
+    for i in range(64):
+        if acc[i] > 0:
+            v |= 1 << i
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    n = len(pdf)
+    out = {
+        "image_id": pdf["image_id"].astype(str),
+        "size": np.full(n, -1, dtype=np.int64),
+        "sha": [None] * n,
+        "status": ["ok"] * n,
+        "w_actual": np.zeros(n, dtype=np.int32),
+        "h_actual": np.zeros(n, dtype=np.int32),
+        "phash_v": [None] * n,
+    }
+    for i, data in enumerate(pdf["bytes"]):
+        if data is None:
+            out["status"][i] = "error"  # missing payload -> Broken sentinel
+            continue
+        b = bytes(data)
+        if len(b) == 0:
+            out["size"][i] = 0
+            out["sha"][i] = EMPTY_SHA256
+            continue
+        try:
+            pixels = codecs.decode(b)
+        except ValueError:
+            out["status"][i] = "unreadable"  # Broken sentinel: size stays -1
+            continue
+        out["size"][i] = len(b)
+        out["sha"][i] = hashlib.sha256(b).hexdigest()
+        out["h_actual"][i], out["w_actual"][i] = pixels.shape[0], pixels.shape[1]
+        out["phash_v"][i] = phash64(pixels)
+
+    # nullable Int64 (not float64!) so None never degrades int64 precision
+    out["phash_v"] = pd.array(out["phash_v"], dtype="Int64")
+
+    caps = pdf["caption"]
+    norm = caps.fillna("").map(lambda c: " ".join(tokens(c)))
+    out["caption_sha"] = norm.map(
+        lambda c: hashlib.sha256(c.encode("utf-8")).hexdigest() if c else None
+    )
+    out["simhash"] = pd.array(
+        [simhash64(c.split()) if c else None for c in norm], dtype="Int64"
+    )
+    out["minhash"] = minhash_signature_batch(caps)
+    return pd.DataFrame(out)
+
+
+def extract_features(images: DataFrame) -> DataFrame:
+    """images(image_id, bytes, caption, ...) -> compact features DataFrame."""
+    cols = ["image_id", "bytes", "caption"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _extract_batch(pdf)
+
+    return images.select(*cols).mapInPandas(run, schema=FEATURES_SCHEMA)

@@ -1,0 +1,204 @@
+"""LSH candidate-pair generation: MinHash bands (captions) + multi-index
+Hamming bands (phash), with explicit skew handling.
+
+No reference analogue — the reference's only grouping key is the exact
+content hash (DataControllerSimple.cs:252-285). This module generalizes
+that to near-duplicates; its skew story is the generalization of the
+reference's all-empty-files mega-group (Common/BlobInfo.cs:49-51):
+
+1. **Exact pre-grouping**: rows with an identical caption (same
+   ``caption_sha``) or identical ``phash_v`` are collapsed to one
+   representative BEFORE banding, with linear star edges recording the
+   collapsed clique. A 10^9-row hot caption ("photo") therefore contributes
+   ONE representative to the LSH join instead of a quadratic mega-band —
+   skew is removed at the source, not salted around.
+2. **Bucket caps**: any remaining band bucket larger than ``bucket_cap``
+   emits star edges (member -> bucket-min) instead of all pairs, and the
+   overflow is observable in the returned stats frame (capped, not silent —
+   SURVEY.md §4 item 1).
+3. AQE skew-join handles residual imbalance at runtime (session config).
+
+Banding schemes (all JVM-side bit ops / array functions; the only Python
+in the near-dup path is the signature UDF in operators/features.py):
+
+- captions: ``BANDS x ROWS_PER_BAND`` MinHash banding, band key =
+  ``xxhash64(slice(minhash, b*r, r), b)``.
+- phash: choose-2-of-4 16-bit blocks -> 6 composite 32-bit keys; the
+  pigeonhole bound guarantees every pair within Hamming distance <= 2 shares
+  at least one composite key. (At 10^12 rows, single 16-bit blocks would
+  give ~n/2^16-sized buckets = quadratic blowup; composite 32-bit keys keep
+  buckets ~n/2^32. Radius beyond 2 is covered by the exact-phash pre-group
+  plus the verification threshold, and is configurable via single-block
+  mode for small corpora.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.minhash import BANDS, ROWS_PER_BAND
+
+DEFAULT_BUCKET_CAP = 256
+
+
+def pairs_from_buckets(
+    banded: DataFrame, id_col: str = "id", bucket_cap: int = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """(id, band, key) -> candidate edges (src < dst).
+
+    Buckets of size <= bucket_cap emit all C(n,2) pairs; larger buckets emit
+    n-1 star edges to the bucket minimum plus a `capped=true` marker column
+    so callers can log overflow."""
+    w = Window.partitionBy("band", "key")
+    b = (
+        banded.select(F.col(id_col).alias("id"), "band", "key")
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("mn", F.min("id").over(w))
+        .filter(F.col("n") >= 2)
+    )
+    small = b.filter(F.col("n") <= bucket_cap).select("id", "band", "key")
+    a, c = small.alias("a"), small.alias("b")
+    p_small = (
+        a.join(c, ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            F.lit(False).alias("capped"),
+        )
+    )
+    p_big = (
+        b.filter((F.col("n") > bucket_cap) & (F.col("id") != F.col("mn")))
+        .select(
+            F.col("mn").alias("src"),
+            F.col("id").alias("dst"),
+            F.lit(True).alias("capped"),
+        )
+    )
+    return (
+        p_small.unionByName(p_big)
+        .groupBy("src", "dst")
+        .agg(F.max("capped").alias("capped"))
+    )
+
+
+# --------------------------------------------------------------- captions
+
+
+def caption_representatives(features: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Collapse identical normalized captions.
+
+    Returns (reps, star_edges): reps = one row per distinct caption_sha with
+    its minhash signature; star_edges link collapsed members to the rep."""
+    f = features.filter(F.col("caption_sha").isNotNull() & F.col("minhash").isNotNull())
+    w = Window.partitionBy("caption_sha")
+    tagged = f.select("image_id", "caption_sha", "minhash").withColumn(
+        "rep", F.min("image_id").over(w)
+    )
+    reps = tagged.filter(F.col("image_id") == F.col("rep")).select(
+        F.col("image_id").alias("id"), "minhash"
+    )
+    star = (
+        tagged.filter(F.col("image_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("src"),
+            F.col("image_id").alias("dst"),
+            F.lit("caption_exact").alias("kind"),
+        )
+    )
+    return reps, star
+
+
+def caption_band_rows(reps: DataFrame) -> DataFrame:
+    """Explode each signature into (id, band, key) rows — JVM-side only:
+    band key = xxhash64 of the band's signature slice + band index."""
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(BANDS - 1)),
+        lambda i: F.xxhash64(
+            F.slice(F.col("minhash"), i * ROWS_PER_BAND + 1, ROWS_PER_BAND), i
+        ),
+    )
+    return (
+        reps.select("id", F.posexplode(band_keys).alias("band", "key"))
+    )
+
+
+def caption_candidates(
+    features: DataFrame, bucket_cap: int = DEFAULT_BUCKET_CAP
+) -> tuple[DataFrame, DataFrame]:
+    """-> (candidate rep pairs (src,dst,capped), caption_exact star edges)."""
+    reps, star = caption_representatives(features)
+    banded = caption_band_rows(reps)
+    return pairs_from_buckets(banded, bucket_cap=bucket_cap), star
+
+
+# ------------------------------------------------------------------ phash
+
+
+def phash_representatives(features: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Collapse identical phash values (same trick as captions)."""
+    f = features.filter(F.col("phash_v").isNotNull())
+    w = Window.partitionBy("phash_v")
+    tagged = f.select("image_id", "phash_v").withColumn(
+        "rep", F.min("image_id").over(w)
+    )
+    reps = tagged.filter(F.col("image_id") == F.col("rep")).select(
+        F.col("image_id").alias("id"), F.col("phash_v").alias("phash")
+    )
+    star = (
+        tagged.filter(F.col("image_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("src"),
+            F.col("image_id").alias("dst"),
+            F.lit("phash_exact").alias("kind"),
+        )
+    )
+    return reps, star
+
+
+def _block16(col, k: int):
+    return F.shiftright(col, 16 * k).bitwiseAND(F.lit(0xFFFF))
+
+
+def phash_band_rows(reps: DataFrame, mode: str = "c2x16") -> DataFrame:
+    """(id, phash) -> (id, band, key) rows.
+
+    mode 'c2x16': 6 composite keys from choose(4,2) 16-bit blocks — every
+    pair with Hamming <= 2 collides on >= 1 key (scale-safe default).
+    mode 'b8x8': 8 single 8-bit blocks — catches Hamming <= 7 but buckets
+    are n/256 (small corpora only)."""
+    p = F.col("phash")
+    if mode == "c2x16":
+        combos = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+        entries = [
+            F.struct(
+                F.lit(ci).alias("band"),
+                (_block16(p, i) * F.lit(65536) + _block16(p, j)).alias("key"),
+            )
+            for ci, (i, j) in enumerate(combos)
+        ]
+    elif mode == "b8x8":
+        entries = [
+            F.struct(
+                F.lit(k).alias("band"),
+                F.shiftright(p, 8 * k).bitwiseAND(F.lit(0xFF)).cast("long").alias("key"),
+            )
+            for k in range(8)
+        ]
+    else:
+        raise ValueError(f"unknown phash band mode: {mode}")
+    return reps.select(
+        "id", F.explode(F.array(*entries)).alias("e")
+    ).select("id", F.col("e.band").alias("band"), F.col("e.key").alias("key"))
+
+
+def phash_candidates(
+    features: DataFrame,
+    mode: str = "c2x16",
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> tuple[DataFrame, DataFrame]:
+    """-> (candidate rep pairs, phash_exact star edges)."""
+    reps, star = phash_representatives(features)
+    banded = phash_band_rows(reps, mode)
+    return pairs_from_buckets(banded, bucket_cap=bucket_cap), star

@@ -1,0 +1,126 @@
+"""Versioned run/state model — the reference's Inspection/FileState story.
+
+The reference mutates an object graph in place: each scan creates an
+``Inspection`` (Common/Inspection.cs:7-29), each file gets a ``FileState``
+per inspection with a ``previousState`` pointer chain
+(Common/FileState.cs:7-16,67-70), and duplicate queries only consider
+states of the LATEST inspection per data location
+(DataControllerSimple.cs:190-208,255-258). Here the same semantics are
+append-only DataFrames + window functions:
+
+- O5  latest run per source     = row_number over (source_id, start_ts desc)
+- P1  latest-state filter       = left_semi join states -> latest runs
+- J6  previousState chain       = lag(...) over (image_id order by run order)
+- CDC New/Unchanged/Modified/Removed — the statuses the reference declares
+  (Common/FileStatus.cs:5-14) but only partially derives (SURVEY.md §2.11):
+  derived here in full from consecutive state pairs.
+- O17 "moved" detection         = same content key (size, sha) alive at a
+  new location while the old row went removed
+  (DuplicatesProcessor.cs:157-170 semantics, no pointer surgery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_runs(runs: DataFrame) -> DataFrame:
+    """O5: arg-max start_ts per source_id (GetLastInspections,
+    DataControllerSimple.cs:190-208). run_id breaks timestamp ties."""
+    w = Window.partitionBy("source_id").orderBy(
+        F.col("start_ts").desc(), F.col("run_id").desc()
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def latest_states(states: DataFrame, runs: DataFrame) -> DataFrame:
+    """P1: keep only states of the latest run per source — a left-semi
+    broadcast join against the tiny latest-runs dim (J1)."""
+    lr = F.broadcast(latest_runs(runs).select("run_id"))
+    return states.join(lr, "run_id", "left_semi")
+
+
+def with_previous_state(states: DataFrame, runs: DataFrame) -> DataFrame:
+    """J6: attach the previous state's (size, sha, location, status) via
+    lag() over the per-image run history — the previousState pointer chain
+    (Common/FileState.cs:67-70) as a window."""
+    run_order = runs.select("run_id", "start_ts")
+    w = Window.partitionBy("image_id").orderBy("start_ts", "run_id")
+    return (
+        states.join(F.broadcast(run_order), "run_id")
+        .withColumn("prev_size", F.lag("size").over(w))
+        .withColumn("prev_sha", F.lag("sha").over(w))
+        .withColumn("prev_location", F.lag("location").over(w))
+        .withColumn("prev_status", F.lag("status").over(w))
+    )
+
+
+def derive_status(states: DataFrame, runs: DataFrame) -> DataFrame:
+    """CDC status per (image, run) from consecutive state pairs: completes
+    the FileStatus enum (Common/FileStatus.cs:5-14) the reference only ever
+    assigns partially (New/Unreadable/Error/Removed —
+    OrdinaryDumpDeduplicator.cs:117,122,170,178).
+
+    new        first sighting of the image_id
+    unchanged  same content key as previous state
+    modified   different content key
+    (removed/unreadable/error pass through from ingest)"""
+    df = with_previous_state(states, runs)
+    derived = (
+        F.when(F.col("status").isin("removed", "unreadable", "error"), F.col("status"))
+        .when(F.col("prev_sha").isNull() & F.col("prev_size").isNull(), F.lit("new"))
+        .when(
+            (F.col("size") == F.col("prev_size"))
+            & (F.col("sha") == F.col("prev_sha")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("modified"))
+    )
+    return df.withColumn("derived_status", derived)
+
+
+def detect_moved(states: DataFrame, runs: DataFrame) -> DataFrame:
+    """O17 semantics: an image whose content key appears at a NEW location
+    in the latest run while a previous-run row with the same key at the old
+    location is gone/removed -> (image_id, size, sha, from_location,
+    to_location).
+
+    Content-key equi-join between the latest run's live rows and the
+    previous runs' rows — shuffle on (size, sha), skew-safe because content
+    keys are near-unique."""
+    run_order = runs.select("run_id", "start_ts")
+    st = states.join(F.broadcast(run_order), "run_id")
+    w = Window.partitionBy("image_id").orderBy(
+        F.col("start_ts").desc(), F.col("run_id").desc()
+    )
+    cur = (
+        st.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & ~F.col("status").isin("removed", "error", "unreadable"))
+        .select("image_id", "size", "sha", "location", "start_ts")
+    )
+    prior = st.select(
+        F.col("size").alias("p_size"),
+        F.col("sha").alias("p_sha"),
+        F.col("location").alias("from_location"),
+        F.col("start_ts").alias("p_ts"),
+        F.col("status").alias("p_status"),
+    )
+    return (
+        cur.join(
+            prior,
+            (F.col("size") == F.col("p_size"))
+            & (F.col("sha") == F.col("p_sha"))
+            & (F.col("location") != F.col("from_location"))
+            & (F.col("p_ts") < F.col("start_ts")),
+        )
+        .select(
+            "image_id", "size", "sha", "from_location",
+            F.col("location").alias("to_location"),
+        )
+        .distinct()
+    )

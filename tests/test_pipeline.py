@@ -1,0 +1,93 @@
+"""End-to-end pipeline: dup-pair recall >= 0.99 vs planted golden pairs,
+plus resumability (skip-if-complete stage checkpoints).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ordinarydumpdeduplicator_spark.plans.pipeline import (
+    NearDupPipeline,
+    PipelineConfig,
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, small_images):
+    pipe = NearDupPipeline(spark, PipelineConfig())
+    return pipe.run(small_images)
+
+
+def _recall(assignments_rows, golden):
+    """fraction of golden pairs whose two ids share a predicted cluster."""
+    cl = {r.image_id: r.cluster_id for r in assignments_rows}
+    hit = total = 0
+    misses = []
+    for r in golden.itertuples():
+        total += 1
+        if cl.get(r.image_id_a) is not None and cl.get(r.image_id_a) == cl.get(
+            r.image_id_b
+        ):
+            hit += 1
+        else:
+            misses.append((r.image_id_a, r.image_id_b, r.kind))
+    return hit / max(total, 1), misses
+
+
+def test_dup_pair_recall(spark, small_corpus, pipeline_result):
+    _, golden = small_corpus
+    rows = pipeline_result["clusters"].collect()
+    recall, misses = _recall(rows, golden)
+    assert recall >= 0.99, f"recall={recall:.4f}, sample misses: {misses[:10]}"
+
+
+def test_no_false_merges_of_uniques(small_corpus, pipeline_result):
+    """Planted unique rows must stay singletons."""
+    pdf, _ = small_corpus
+    uniques = set(pdf[pdf._class == "unique"].image_id)
+    rows = pipeline_result["clusters"].collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r.image_id)
+    merged = [
+        ids for ids in by_cluster.values()
+        if len(ids) > 1 and any(i in uniques for i in ids)
+    ]
+    # allow a tiny false-positive budget (phash collisions are possible in
+    # principle) but the fixture is constructed to have none
+    assert merged == [], f"uniques merged: {merged[:5]}"
+
+
+def test_all_readable_images_assigned(small_corpus, pipeline_result):
+    pdf, _ = small_corpus
+    n_unreadable = (pdf._class == "unreadable").sum()
+    n_null = pdf.bytes.isna().sum()
+    expect = len(pdf) - n_unreadable - n_null
+    assert pipeline_result["clusters"].count() == expect
+
+
+def test_cluster_id_is_min_member(pipeline_result):
+    bad = (
+        pipeline_result["clusters"]
+        .groupBy("cluster_id")
+        .agg(F.min("image_id").alias("mn"))
+        .filter(F.col("cluster_id") != F.col("mn"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_resume_skips_completed_stages(spark, tiny_images, tmp_path):
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path), run_id="r1")
+    pipe = NearDupPipeline(spark, cfg)
+    first = pipe.run(tiny_images)
+    n_clusters = first["clusters"].count()
+    statuses = {m["stage"]: m["status"] for m in cfg.metrics}
+    assert set(statuses.values()) == {"complete"}
+
+    # second run over the same checkpoint dir must resume every stage
+    cfg2 = PipelineConfig(checkpoint_dir=str(tmp_path), run_id="r1")
+    pipe2 = NearDupPipeline(spark, cfg2)
+    second = pipe2.run(tiny_images)
+    statuses2 = {m["stage"]: m["status"] for m in cfg2.metrics}
+    assert set(statuses2.values()) == {"resumed"}
+    assert second["clusters"].count() == n_clusters
