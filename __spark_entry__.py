@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship near-duplicate text-clustering pipeline
+on sf0.001. ``queries()`` exposes the engine's operators (SURVEY.md §2 ids
+cited per entry) over the driver-provided testdata tables; ``oracle_sql()``
+gives the DuckDB-checkable equivalent for every SQL-expressible one.
+Column names/aliases match between the two on purpose — the driver's
+compare hashes values under sorted column names.
 """
 
 from __future__ import annotations
@@ -12,27 +13,460 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-dup document clustering (MinHash -> LSH -> verified
+    pairs -> connected components -> cluster assignment) at sf0.001."""
+    from ordinarydumpdeduplicator_spark.operators.connected_components import (
+        connected_components,
+    )
+    from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+        exact_text_groups,
+        near_dup_text_pairs,
+    )
+
+    docs = _docs(spark, "/root/testdata/sf0.001").cache()
+    exact = exact_text_groups(docs)
+    exact_edges = (
+        exact.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(
+            F.col("cluster_id").cast("string").alias("src"),
+            F.col("doc_id").cast("string").alias("dst"),
+        )
+    )
+    near_edges = near_dup_text_pairs(docs).select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    assign = connected_components(exact_edges.unionByName(near_edges))
+    out = (
+        docs.select(F.col("doc_id").cast("string").alias("image_id"))
+        .join(assign, "image_id", "left")
+        .select(
+            F.col("image_id").alias("doc_id"),
+            F.coalesce("cluster_id", "image_id").alias("cluster_id"),
+            F.col("cluster_id").isNotNull().alias("is_dup"),
+        )
+    )
+    return out
+
+
+# ------------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ordinarydumpdeduplicator_spark.operators.report import (
+        cluster_flags,
+        location_rollup,
+    )
+    from ordinarydumpdeduplicator_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+    from ordinarydumpdeduplicator_spark.operators.text_analysis import (
+        fingerprints,
+        lang_id_heuristic,
+        quality_features,
+        token_stats,
+    )
+    from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+        dup_text_groups,
+        exact_text_groups,
+        minhash_candidate_pairs,
+        near_dup_text_pairs,
+        token_jaccard_pairs,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ----- dedup core (O1/O2/F1 — hash-group semantics) -----
+
+    def q_exact_text_groups(spark, sf):
+        return exact_text_groups(_docs(spark, sf))
+
+    def q_dup_text_groups(spark, sf):
+        return dup_text_groups(_docs(spark, sf))
+
+    def q_token_jaccard_pairs(spark, sf):
+        return token_jaccard_pairs(_docs(spark, sf))
+
+    def q_near_dup_text_pairs(spark, sf):  # rows-only (LSH not in SQL)
+        return near_dup_text_pairs(_docs(spark, sf))
+
+    def q_minhash_candidates(spark, sf):  # rows-only
+        return minhash_candidate_pairs(_docs(spark, sf)).select(
+            F.col("src").alias("doc_id_a"), F.col("dst").alias("doc_id_b")
+        )
+
+    # ----- windows / CDC (O5/O6/J6) -----
+
+    def q_latest_event_per_user(spark, sf):
+        from pyspark.sql import Window
+
+        ev = _tbl(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type", "value")
+        )
+
+    def q_event_value_cdc(spark, sf):
+        from pyspark.sql import Window
+
+        ev = _tbl(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        prev = F.lag("value").over(w)
+        return ev.select(
+            "event_id",
+            "user_id",
+            F.when(prev.isNull(), F.lit("new"))
+            .when(F.col("value") == prev, F.lit("unchanged"))
+            .otherwise(F.lit("modified"))
+            .alias("derived_status"),
+        )
+
+    # ----- joins / set ops (J1/J2, U1/U2) -----
+
+    def q_orders_fully_shipped_early(spark, sf):
+        # anti join: orders with NO lineitem shipped after the cutoff
+        orders = _tbl(spark, sf, "orders")
+        li = _tbl(spark, sf, "lineitem")
+        late = li.filter(F.col("l_shipdate") > "1997-01-01").select("l_orderkey")
+        return (
+            orders.join(late, orders.o_orderkey == late.l_orderkey, "left_anti")
+            .select("o_orderkey", "o_custkey", "o_orderstatus")
+        )
+
+    def q_union_distinct_docs(spark, sf):
+        d = _docs(spark, sf)
+        a = d.filter(F.col("lang") == "en").select("doc_id")
+        b = d.filter(F.col("n_chars") > 300).select("doc_id")
+        return a.union(b).distinct()
+
+    def q_nation_revenue(spark, sf):
+        cust = _tbl(spark, sf, "customer")
+        orders = _tbl(spark, sf, "orders")
+        nation = _tbl(spark, sf, "nation")
+        return (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+        )
+
+    # ----- aggregation / rollup (O7/O9/O10) -----
+
+    def q_pricing_summary(spark, sf):
+        li = _tbl(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    def q_rollup_returnflag(spark, sf):
+        li = _tbl(spark, sf, "lineitem")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            )
+        )
+
+    def q_cluster_flags_by_lang(spark, sf):
+        d = _docs(spark, sf)
+        members = d.select(
+            F.col("lang").alias("cluster_id"),
+            F.col("doc_id").alias("image_id"),
+            F.col("n_chars").alias("size"),
+            F.when(
+                F.col("source").isin("src0", "src1", "src2"),
+                F.lit("isolated"),
+            ).otherwise(F.lit("original")).alias("sort"),
+        )
+        return cluster_flags(members)
+
+    def q_location_rollup_docs(spark, sf):
+        d = _docs(spark, sf)
+        members = d.select(
+            F.col("lang").alias("cluster_id"),
+            F.col("doc_id").alias("image_id"),
+            F.col("n_chars").alias("size"),
+            F.concat(F.lit("corpus/"), "source", F.lit("/"), "lang").alias(
+                "location"
+            ),
+        )
+        return location_rollup(members)
+
+    # ----- text analysis -----
+
+    def q_token_stats(spark, sf):
+        return token_stats(_docs(spark, sf))
+
+    def q_quality_features(spark, sf):
+        return quality_features(_docs(spark, sf))
+
+    def q_lang_id(spark, sf):
+        return lang_id_heuristic(_docs(spark, sf))
+
+    def q_fingerprints(spark, sf):
+        return fingerprints(_docs(spark, sf))
+
+    def q_lang_distribution(spark, sf):
+        return (
+            _docs(spark, sf)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.countDistinct("source").alias("n_sources"),
+            )
+        )
+
+    # ----- similarity search -----
+
+    def q_topk_similar(spark, sf):
+        emb = _tbl(spark, sf, "embeddings")
+        return brute_force_topk(emb, k=3).select("vec_id", "neighbor_id", "rank")
+
+    def q_lsh_topk(spark, sf):  # rows-only (hyperplane sketch not in SQL)
+        emb = _tbl(spark, sf, "embeddings")
+        return lsh_topk(emb, dim=64, k=3).select("vec_id", "neighbor_id", "rank")
+
+    return {
+        "exact_text_groups": q_exact_text_groups,
+        "dup_text_groups": q_dup_text_groups,
+        "token_jaccard_pairs": q_token_jaccard_pairs,
+        "near_dup_text_pairs": q_near_dup_text_pairs,
+        "minhash_candidates": q_minhash_candidates,
+        "latest_event_per_user": q_latest_event_per_user,
+        "event_value_cdc": q_event_value_cdc,
+        "orders_fully_shipped_early": q_orders_fully_shipped_early,
+        "union_distinct_docs": q_union_distinct_docs,
+        "nation_revenue": q_nation_revenue,
+        "pricing_summary": q_pricing_summary,
+        "rollup_returnflag": q_rollup_returnflag,
+        "cluster_flags_by_lang": q_cluster_flags_by_lang,
+        "location_rollup_docs": q_location_rollup_docs,
+        "token_stats": q_token_stats,
+        "quality_features": q_quality_features,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "lang_distribution": q_lang_distribution,
+        "topk_similar": q_topk_similar,
+        "lsh_topk": q_lsh_topk,
+    }
+
+
+# ---------------------------------------------------------------- oracle_sql
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_scores = {
+        "en": ["the", "and", "of", "to", "in"],
+        "de": ["der", "die", "und", "das", "ist"],
+        "fr": ["le", "la", "et", "les", "des"],
+        "es": ["el", "la", "de", "que", "los"],
+    }
+    score_exprs = {
+        lang: (
+            "len(list_intersect(list_distinct(" + _TOKS + "), ["
+            + ", ".join(f"'{m}'" for m in markers)
+            + "]))"
+        )
+        for lang, markers in lang_scores.items()
+    }
+    best = "greatest(" + ", ".join(score_exprs[lang] for lang in sorted(score_exprs)) + ")"
+    lang_case = "case when " + best + " <= 0 then 'und' " + " ".join(
+        f"when {score_exprs[lang]} = {best} then '{lang}'"
+        for lang in sorted(score_exprs)
+    ) + " end"
+
+    return {
+        "exact_text_groups": f"""
+            SELECT doc_id,
+                   sha256({_NORM}) AS content_sha,
+                   min(doc_id) OVER (PARTITION BY sha256({_NORM})) AS cluster_id,
+                   count(*) OVER (PARTITION BY sha256({_NORM})) AS n_members,
+                   count(*) OVER (PARTITION BY sha256({_NORM})) > 1 AS is_dup
+            FROM documents
+        """,
+        "dup_text_groups": f"""
+            SELECT sha256({_NORM}) AS content_sha,
+                   min(doc_id) AS cluster_id,
+                   count(*) AS n_members,
+                   sum(length(text)) AS all_chars
+            FROM documents
+            GROUP BY 1 HAVING count(*) > 1
+        """,
+        "token_jaccard_pairs": f"""
+            WITH base AS (
+              SELECT doc_id, lang AS blk, length(text) AS len,
+                     list_distinct({_TOKS}) AS toks
+              FROM documents
+            )
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   len(list_intersect(a.toks, b.toks)) AS n_inter,
+                   len(list_distinct(list_concat(a.toks, b.toks))) AS n_union
+            FROM base a JOIN base b ON a.blk = b.blk
+            WHERE a.doc_id < b.doc_id AND abs(a.len - b.len) <= 5
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, event_type, value FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "event_value_cdc": """
+            SELECT event_id, user_id,
+                   CASE WHEN prev IS NULL THEN 'new'
+                        WHEN value = prev THEN 'unchanged'
+                        ELSE 'modified' END AS derived_status
+            FROM (SELECT event_id, user_id, value,
+                         lag(value) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                  FROM events)
+        """,
+        "orders_fully_shipped_early": """
+            SELECT o_orderkey, o_custkey, o_orderstatus FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > TIMESTAMP '1997-01-01')
+        """,
+        "union_distinct_docs": """
+            SELECT doc_id FROM documents WHERE lang = 'en'
+            UNION
+            SELECT doc_id FROM documents WHERE n_chars > 300
+        """,
+        "nation_revenue": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "rollup_returnflag": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "cluster_flags_by_lang": """
+            SELECT lang AS cluster_id,
+                   count(*) AS n_members,
+                   max(n_chars) AS member_size,
+                   sum(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END) AS n_original,
+                   sum(CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END) AS n_isolated,
+                   sum(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END) > 0 AS has_original,
+                   sum(CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END) > 0 AS has_isolated,
+                   sum(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END) > 1 AS has_unprocessed,
+                   count(*) = 1 AS is_unique,
+                   max(n_chars) * count(*) AS all_bytes,
+                   max(n_chars) * greatest(
+                     sum(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END) - 1, 0) AS dup_bytes,
+                   max(n_chars) * greatest(count(*) - 1, 0) AS all_dup_bytes
+            FROM documents GROUP BY lang
+        """,
+        "location_rollup_docs": """
+            WITH members AS (
+              SELECT lang AS cluster_id, doc_id, n_chars AS size,
+                     'corpus/' || source || '/' || lang AS location
+              FROM documents),
+            exploded AS (
+              SELECT cluster_id, doc_id, size, 'corpus' AS ancestor FROM members
+              UNION ALL
+              SELECT cluster_id, doc_id, size,
+                     'corpus/' || split_part(location, '/', 2) FROM members
+              UNION ALL
+              SELECT cluster_id, doc_id, size, location FROM members)
+            SELECT ancestor, count(*) AS n_dup_files,
+                   count(DISTINCT cluster_id) AS n_clusters,
+                   sum(size) AS dup_bytes
+            FROM exploded GROUP BY ancestor
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len({_TOKS}) AS n_tokens,
+                   len(list_distinct({_TOKS})) AS n_distinct_tokens,
+                   coalesce(list_sum(list_transform({_TOKS}, x -> length(x))), 0)
+                     AS total_token_len
+            FROM documents
+        """,
+        "quality_features": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len({_TOKS}) AS n_tokens,
+                   length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+                   length(trim(text)) > 0 AS non_empty
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   {score_exprs['de']} AS score_de,
+                   {score_exprs['en']} AS score_en,
+                   {score_exprs['es']} AS score_es,
+                   {score_exprs['fr']} AS score_fr,
+                   {lang_case} AS lang_pred
+            FROM documents
+        """,
+        "fingerprints": f"""
+            SELECT doc_id, md5({_NORM}) AS fp_md5, sha256({_NORM}) AS fp_sha256
+            FROM documents
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                   count(DISTINCT source) AS n_sources
+            FROM documents GROUP BY lang
+        """,
+        "topk_similar": """
+            SELECT vec_id, neighbor_id, rank FROM (
+              SELECT a.vec_id, b.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                                b.vec_id) AS rank
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+            WHERE rank <= 3
+        """,
+        # near_dup_text_pairs / minhash_candidates / lsh_topk: rows-only
+    }

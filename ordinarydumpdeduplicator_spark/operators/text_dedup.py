@@ -1,0 +1,140 @@
+"""Text deduplication over any (id, text) DataFrame — the engine's dedup
+operators applied to a document corpus (training-data-pipeline form).
+
+Same semantics as the image pipeline, re-keyed for text:
+- exact:   content key = sha256(normalized text)  (O1/O2 — the reference's
+           hash-group, DataControllerSimple.cs:252-301)
+- near:    MinHash signature -> LSH bands -> verified candidate pairs
+- cheap:   token-set Jaccard for same-bucket pairs (SQL-expressible form,
+           used by the DuckDB oracle cross-check)
+
+All outputs alias columns explicitly so oracle SQL can match them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.minhash import minhash_udf
+from .lsh import caption_band_rows, pairs_from_buckets
+from .verify import verify_caption_pairs
+
+
+def normalized_text(col) -> F.Column:
+    """lower + whitespace-collapse + trim; the fingerprint input (F4/F3)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_text_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per document with its content group stats (O1 without the
+    HAVING filter so singleton groups are still visible/testable)."""
+    w = Window.partitionBy("content_sha")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.sha2(normalized_text(F.col(text_col)), 256).alias("content_sha"),
+        )
+        .withColumn("cluster_id", F.min("doc_id").over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn("is_dup", F.col("n_members") > 1)
+    )
+
+
+def dup_text_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """O2: duplicate groups only (HAVING count > 1), one row per group."""
+    return (
+        docs.select(
+            F.sha2(normalized_text(F.col(text_col)), 256).alias("content_sha"),
+            F.col(id_col).alias("doc_id"),
+            F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        )
+        .groupBy("content_sha")
+        .agg(
+            F.min("doc_id").alias("cluster_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_chars").alias("all_chars"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """LSH candidate pairs over document text (ids as strings for the
+    shared banding machinery; cast back by the caller if needed)."""
+    sigs = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        minhash_udf(F.col(text_col)).alias("minhash"),
+    ).filter(F.col("minhash").isNotNull())
+    banded = caption_band_rows(sigs)
+    return pairs_from_buckets(banded, bucket_cap=bucket_cap)
+
+
+def near_dup_text_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pair detection: LSH candidates verified by exact
+    shingle Jaccard / LCS (operators/verify.py)."""
+    cands = minhash_candidate_pairs(docs, id_col, text_col)
+    corpus = docs.select(
+        F.col(id_col).cast("string").alias("image_id"),
+        F.col(text_col).alias("caption"),
+    )
+    return verify_caption_pairs(
+        cands, corpus, jaccard_threshold=jaccard_threshold
+    ).select(
+        F.col("src").alias("doc_id_a"), F.col("dst").alias("doc_id_b"), "kind"
+    )
+
+
+def token_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    same_col: str = "lang",
+    max_len_diff: int = 5,
+) -> DataFrame:
+    """SQL-expressible near-dup measure: token-SET intersection/union counts
+    for candidate pairs blocked on an equality column (e.g. same lang) and
+    close length. Integer outputs only (hash-stable vs the DuckDB oracle).
+
+    The blocking equi-join is the scalable shape: pairs are generated per
+    block, never corpus x corpus."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(same_col).alias("blk"),
+        F.length(F.col(text_col)).alias("len"),
+        toks.alias("toks"),
+    )
+    a = base.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("blk"),
+        F.col("len").alias("len_a"), F.col("toks").alias("toks_a"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("blk"),
+        F.col("len").alias("len_b"), F.col("toks").alias("toks_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .where(
+            (F.col("doc_id_a") < F.col("doc_id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_len_diff)
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("long").alias("n_inter"),
+            F.size(F.array_union("toks_a", "toks_b")).cast("long").alias("n_union"),
+        )
+    )
