@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from ordinarydumpdeduplicator_spark.operators.similarity import (
         brute_force_topk,
+        ivf_topk,
         lsh_topk,
     )
     from ordinarydumpdeduplicator_spark.operators.text_analysis import (
@@ -258,6 +259,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _tbl(spark, sf, "embeddings")
         return lsh_topk(emb, dim=64, k=3).select("vec_id", "neighbor_id", "rank")
 
+    def q_ivf_topk(spark, sf):  # rows-only (k-means quantizer not in SQL)
+        emb = _tbl(spark, sf, "embeddings")
+        return ivf_topk(emb, k=3).select("vec_id", "neighbor_id", "rank")
+
     return {
         "exact_text_groups": q_exact_text_groups,
         "dup_text_groups": q_dup_text_groups,
@@ -280,6 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "topk_similar": q_topk_similar,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
     }
 
 

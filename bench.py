@@ -1,0 +1,113 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...}
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the image near-dup pipeline over a
+deterministic synthetic corpus (generated distributed, written once to a
+temp parquet, then timed end-to-end). `images_per_sec` rides along in the
+queries dict for the scaling report (tools/bench_scaling.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_BENCH_IMAGES = int(os.environ.get("ODD_BENCH_IMAGES", "40000"))
+
+
+def _time(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def bench_images_pipeline(spark, n: int, data_dir: str) -> tuple[float, int]:
+    """Time the full near-dup image pipeline over a pre-materialized corpus."""
+    from ordinarydumpdeduplicator_spark.fixtures.generator import spark_images_df
+    from ordinarydumpdeduplicator_spark.plans.pipeline import (
+        NearDupPipeline,
+        PipelineConfig,
+    )
+
+    corpus_path = os.path.join(data_dir, f"images_{n}")
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        spark_images_df(spark, n).write.mode("overwrite").parquet(corpus_path)
+    images = spark.read.parquet(corpus_path)
+    t0 = time.time()
+    res = NearDupPipeline(spark, PipelineConfig()).run(images)
+    n_assigned = res["clusters"].count()
+    wall = time.time() - t0
+    for df in res.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return round(wall, 3), n_assigned
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from ordinarydumpdeduplicator_spark.session import get_spark
+
+    spark = get_spark("odd_bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    headline = [
+        "exact_text_groups",
+        "near_dup_text_pairs",
+        "token_jaccard_pairs",
+        "latest_event_per_user",
+        "event_value_cdc",
+        "pricing_summary",
+        "rollup_returnflag",
+        "nation_revenue",
+        "orders_fully_shipped_early",
+        "location_rollup_docs",
+        "token_stats",
+        "lang_id",
+        "lsh_topk",
+    ]
+    for name in headline:
+        fn = qs[name]
+        # count() materializes the full result without driver collect
+        timings[name] = _time(lambda: fn(spark, sf_dir).count())
+
+    data_dir = os.environ.get("ODD_BENCH_DATA", "/tmp/odd_bench_data")
+    os.makedirs(data_dir, exist_ok=True)
+    wall, n_assigned = bench_images_pipeline(spark, N_BENCH_IMAGES, data_dir)
+    timings["images_pipeline"] = wall
+    timings["images_per_sec"] = round(N_BENCH_IMAGES / wall, 1)
+
+    total = round(sum(v for k, v in timings.items() if k != "images_per_sec"), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "near-dup engine headline queries + image pipeline",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_bench_images": N_BENCH_IMAGES,
+                "n_assigned": n_assigned,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

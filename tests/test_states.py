@@ -1,0 +1,103 @@
+"""Versioned run/state model tests — the Inspection/FileState semantics
+(two-run fixture per FIXTURES.md §2)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from ordinarydumpdeduplicator_spark.operators.states import (
+    derive_status,
+    detect_moved,
+    latest_runs,
+    latest_states,
+)
+
+RUNS_DDL = "run_id string, source_id string, start_ts timestamp, finish_ts timestamp"
+STATES_DDL = (
+    "image_id string, run_id string, size bigint, sha string, "
+    "status string, location string, sort string"
+)
+
+
+@pytest.fixture(scope="module")
+def two_run(spark):
+    """Run A then run B over the same source; B moves one image, removes
+    one, modifies one, keeps one unchanged, adds one."""
+    runs = spark.createDataFrame(
+        [
+            ("rA", "src", datetime(2026, 1, 1), datetime(2026, 1, 1, 1)),
+            ("rB", "src", datetime(2026, 2, 1), datetime(2026, 2, 1, 1)),
+            ("rX", "other", datetime(2026, 1, 15), datetime(2026, 1, 15, 1)),
+        ],
+        schema=RUNS_DDL,
+    )
+    states = spark.createDataFrame(
+        [
+            # run A
+            ("i1", "rA", 10, "h1", "new", "loc/a", "original"),
+            ("i2", "rA", 20, "h2", "new", "loc/a", "original"),
+            ("i3", "rA", 30, "h3", "new", "loc/b", "original"),
+            ("i4", "rA", 40, "h4", "new", "loc/b", "original"),
+            # run B: i1 unchanged; i2 modified; i3 removed;
+            # i4's content shows up as i4 at a NEW location (moved);
+            # i5 brand new
+            ("i1", "rB", 10, "h1", "new", "loc/a", "original"),
+            ("i2", "rB", 21, "h2b", "new", "loc/a", "original"),
+            ("i3", "rB", 30, "h3", "removed", "loc/b", "original"),
+            ("i4", "rB", 40, "h4", "new", "loc/isolated", "isolated"),
+            ("i5", "rB", 50, "h5", "new", "loc/c", "original"),
+        ],
+        schema=STATES_DDL,
+    )
+    return runs, states
+
+
+def test_latest_runs_argmax(spark, two_run):
+    runs, _ = two_run
+    got = {r.source_id: r.run_id for r in latest_runs(runs).collect()}
+    assert got == {"src": "rB", "other": "rX"}
+
+
+def test_latest_states_semi_join(spark, two_run):
+    runs, states = two_run
+    got = latest_states(states, runs)
+    assert {r.run_id for r in got.collect()} == {"rB"}
+    assert got.count() == 5
+
+
+def test_derive_status_cdc(spark, two_run):
+    runs, states = two_run
+    got = {
+        (r.image_id, r.run_id): r.derived_status
+        for r in derive_status(states, runs).collect()
+    }
+    # run A: everything is a first sighting
+    assert got[("i1", "rA")] == "new"
+    assert got[("i4", "rA")] == "new"
+    # run B: full FileStatus derivation (Common/FileStatus.cs:5-14)
+    assert got[("i1", "rB")] == "unchanged"
+    assert got[("i2", "rB")] == "modified"
+    assert got[("i3", "rB")] == "removed"  # passthrough
+    assert got[("i4", "rB")] == "unchanged"  # same content, new location
+    assert got[("i5", "rB")] == "new"
+
+
+def test_detect_moved(spark, two_run):
+    runs, states = two_run
+    got = detect_moved(states, runs).collect()
+    moved = {(r.image_id, r.from_location, r.to_location) for r in got}
+    assert moved == {("i4", "loc/b", "loc/isolated")}
+
+
+def test_moved_ignores_unchanged_location(spark, two_run):
+    runs, states = two_run
+    ids = {r.image_id for r in detect_moved(states, runs).collect()}
+    assert "i1" not in ids and "i2" not in ids
+
+
+def test_removed_not_marked_moved_to_self(spark, two_run):
+    """i3 is removed (same location) — not a move."""
+    runs, states = two_run
+    ids = {r.image_id for r in detect_moved(states, runs).collect()}
+    assert "i3" not in ids
