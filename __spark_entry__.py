@@ -212,6 +212,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cluster_flags(members)
 
+    def q_isolation_plan(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.actions import plan_isolation
+
+        d = _docs(spark, sf)
+        members = d.select(
+            F.col("lang").alias("cluster_id"),
+            F.col("doc_id").alias("image_id"),
+            F.col("n_chars").alias("size"),
+            F.when(
+                F.col("source").isin("src0", "src1", "src2"), F.lit("isolated")
+            ).otherwise(F.lit("original")).alias("sort"),
+            F.concat(F.lit("corpus/"), "source").alias("location"),
+        )
+        return plan_isolation(members)
+
     def q_location_rollup_docs(spark, sf):
         d = _docs(spark, sf)
         members = d.select(
@@ -277,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "rollup_returnflag": q_rollup_returnflag,
         "cluster_flags_by_lang": q_cluster_flags_by_lang,
+        "isolation_plan": q_isolation_plan,
         "location_rollup_docs": q_location_rollup_docs,
         "token_stats": q_token_stats,
         "quality_features": q_quality_features,
@@ -410,6 +426,23 @@ def oracle_sql() -> dict[str, str]:
                      sum(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END) - 1, 0) AS dup_bytes,
                    max(n_chars) * greatest(count(*) - 1, 0) AS all_dup_bytes
             FROM documents GROUP BY lang
+        """,
+        "isolation_plan": """
+            WITH members AS (
+              SELECT lang AS cluster_id, doc_id AS image_id,
+                     CASE WHEN source IN ('src0','src1','src2')
+                          THEN 'isolated' ELSE 'original' END AS sort,
+                     'corpus/' || source AS location
+              FROM documents),
+            orig AS (
+              SELECT cluster_id, image_id, location,
+                     min(image_id) OVER (PARTITION BY cluster_id) AS keeper,
+                     count(*) OVER (PARTITION BY cluster_id) AS n_orig
+              FROM members WHERE sort = 'original')
+            SELECT image_id, cluster_id, 'isolate' AS action,
+                   location AS from_location,
+                   'isolated duplicates/' || location AS to_location
+            FROM orig WHERE n_orig > 1 AND image_id <> keeper
         """,
         "location_rollup_docs": """
             WITH members AS (

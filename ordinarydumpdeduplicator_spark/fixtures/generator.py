@@ -164,11 +164,16 @@ CAPTION_TIERS = [1, 2, 8]  # words replaced out of 24 -> shingle J ~.78/.6/.2;
 # only pairs whose MEASURED shingle Jaccard >= 0.65 enter golden_pairs
 
 
-def gen_row(i: int, plan: CorpusPlan, seed: int = 42) -> dict:
-    """Generate row i of the corpus — pure function of (i, plan.n, seed)."""
+def gen_row(
+    i: int, plan: CorpusPlan, seed: int = 42, img_size: tuple[int, int] = (32, 24)
+) -> dict:
+    """Generate row i of the corpus — pure function of (i, plan.n, seed,
+    img_size). ``img_size`` scales the pixel payload: tests use the tiny
+    default; the scaling bench uses larger frames so per-image decode cost
+    is representative of a real corpus."""
     cls_name, unit, member = plan.locate(i)
     image_id = f"img_{i:09d}"
-    w, h = 32, 24
+    w, h = img_size
 
     if cls_name == "empty":
         return dict(image_id=image_id, bytes=b"", w=0, h=0, fmt="png",
@@ -246,7 +251,9 @@ def gen_row(i: int, plan: CorpusPlan, seed: int = 42) -> dict:
 IMAGE_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
 
 
-def make_corpus(n: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
+def make_corpus(
+    n: int, seed: int = 42, img_size: tuple[int, int] = (32, 24)
+) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Driver-side corpus: (images_pdf with hidden _class/_unit, golden_pairs).
 
     golden_pairs: (image_id_a < image_id_b, kind) — the recall denominator.
@@ -255,7 +262,7 @@ def make_corpus(n: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
     hot (identical hot caption).
     """
     plan = CorpusPlan.make(n)
-    rows = [gen_row(i, plan, seed) for i in range(n)]
+    rows = [gen_row(i, plan, seed, img_size) for i in range(n)]
     pdf = pd.DataFrame(rows)
 
     pairs: list[tuple[str, str, str]] = []
@@ -286,7 +293,13 @@ def images_pdf_public(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf[IMAGE_COLS].copy()
 
 
-def spark_images_df(spark, n: int, seed: int = 42, partitions: int | None = None):
+def spark_images_df(
+    spark,
+    n: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    img_size: tuple[int, int] = (32, 24),
+):
     """Distributed corpus generation for bench scale: each partition
     generates its own id range via mapInPandas (no driver materialization).
     This is also the pattern a 10^12-row synthetic load would use."""
@@ -306,7 +319,7 @@ def spark_images_df(spark, n: int, seed: int = 42, partitions: int | None = None
     def gen_batches(iterator):
         for pdf in iterator:
             recs = [
-                {k: v for k, v in gen_row(int(i), plan, seed).items()
+                {k: v for k, v in gen_row(int(i), plan, seed, img_size).items()
                  if not k.startswith("_")}
                 for i in pdf["id"]
             ]
