@@ -54,18 +54,47 @@ def minhash_signature(text: str | None, k: int = SHINGLE_K) -> list[int] | None:
     return vals.min(axis=1).astype(np.int64).tolist()
 
 
-def minhash_signature_batch(texts: pd.Series) -> pd.Series:
+def band_keys_from_mins(mins: np.ndarray) -> np.ndarray:
+    """(NUM_HASHES, n_docs) signature matrix -> (BANDS, n_docs) band keys.
+
+    Band key = 64-bit mix (splitmix-style multiply-xor fold) of the band's
+    ROWS_PER_BAND signature values + the band index, fully vectorized.
+    Equal band slices <=> equal keys (up to negligible 64-bit collisions) —
+    the same contract as hashing the slice, but computed in the Arrow UDF
+    where it costs one numpy pass instead of per-row JVM array slicing."""
+    u = mins.astype(np.uint64).reshape(BANDS, ROWS_PER_BAND, -1)
+    with np.errstate(over="ignore"):
+        acc = np.full(
+            (BANDS, u.shape[2]),
+            np.uint64(0x9E3779B97F4A7C15),
+            dtype=np.uint64,
+        )
+        acc ^= np.arange(BANDS, dtype=np.uint64)[:, None] * np.uint64(
+            0xBF58476D1CE4E5B9
+        )
+        for r in range(ROWS_PER_BAND):
+            acc = (acc ^ u[:, r, :]) * np.uint64(0x94D049BB133111EB)
+            acc ^= acc >> np.uint64(31)
+    return acc.astype(np.int64)
+
+
+def minhash_signature_batch(
+    texts: pd.Series, with_bands: bool = False
+) -> pd.Series | tuple[pd.Series, pd.Series]:
     """Vectorized batch: one Arrow batch of captions -> signatures.
 
     Shingle-hash arrays for the whole batch are concatenated and all
     NUM_HASHES functions are applied in one numpy pass; per-document minima
     come from ``np.minimum.reduceat`` over segment offsets — no per-row
-    numpy re-dispatch."""
+    numpy re-dispatch. ``with_bands`` additionally returns the LSH band
+    keys (computed here, where it is one vectorized pass, rather than
+    JVM-side per-row slice hashing)."""
     hash_arrays = [shingle_hashes(t) for t in texts]
     lengths = np.array([h.size for h in hash_arrays], dtype=np.int64)
     nonempty = lengths > 0
     if not nonempty.any():
-        return pd.Series([None] * len(texts), index=texts.index, dtype=object)
+        empty = pd.Series([None] * len(texts), index=texts.index, dtype=object)
+        return (empty, empty.copy()) if with_bands else empty
     concat = np.concatenate([h for h in hash_arrays if h.size])
     with np.errstate(over="ignore"):
         vals = (_A[:, None] * concat[None, :] + _B[:, None]) >> np.uint64(32)
@@ -73,17 +102,31 @@ def minhash_signature_batch(texts: pd.Series) -> pd.Series:
     np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
     mins = np.minimum.reduceat(vals, offsets, axis=1).astype(np.int64)
     out: list[list[int] | None] = [None] * len(texts)
+    bands: list[list[int] | None] = [None] * len(texts)
+    band_mat = band_keys_from_mins(mins) if with_bands else None
     j = 0
     for i, ne in enumerate(nonempty):
         if ne:
             out[i] = mins[:, j].tolist()
+            if band_mat is not None:
+                bands[i] = band_mat[:, j].tolist()
             j += 1
-    return pd.Series(out, index=texts.index, dtype=object)
+    sig = pd.Series(out, index=texts.index, dtype=object)
+    if with_bands:
+        return sig, pd.Series(bands, index=texts.index, dtype=object)
+    return sig
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def minhash_udf(captions: pd.Series) -> pd.Series:
     return minhash_signature_batch(captions)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def band_keys_udf(captions: pd.Series) -> pd.Series:
+    """text -> LSH band keys (BANDS longs), vectorized end-to-end."""
+    _sig, bands = minhash_signature_batch(captions, with_bands=True)
+    return bands
 
 
 def exact_jaccard(text_a: str | None, text_b: str | None) -> float:

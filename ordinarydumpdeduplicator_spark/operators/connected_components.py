@@ -81,9 +81,9 @@ def connected_components(
     too. The global conf is restored on exit."""
     e = _canon(edges)
     if checkpoint:
-        e = e.localCheckpoint()
+        e = e.localCheckpoint(eager=False)
     spark = edges.sparkSession
-    n_edges = e.count() if checkpoint else None
+    n_edges = e.count() if checkpoint else None  # also materializes the cut
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if n_edges is not None:
         loop_p = int(max(4, min(n_edges // 200_000 + 1, int(old_sp))))
@@ -100,7 +100,10 @@ def connected_components(
                 F.col("src").alias("u"), F.col("dst").alias("v")
             )))
             if checkpoint:
-                e = e.localCheckpoint()
+                # lazy: the signature aggregation below is the ONE action
+                # per round — it materializes the checkpoint as a side
+                # effect (two jobs per round measured ~40% of fixpoint wall)
+                e = e.localCheckpoint(eager=False)
             # fixpoint: the edge set is stable — order-insensitive signature
             # via count + bit_xor of row hashes (xor is overflow-free under
             # ANSI mode and collision-safe here: edges are distinct rows)

@@ -43,7 +43,8 @@ from ..functions.text import tokens
 FEATURES_SCHEMA = (
     "image_id string, size bigint, sha string, status string, "
     "w_actual int, h_actual int, phash_v bigint, "
-    "caption_sha string, simhash bigint, minhash array<bigint>"
+    "caption_sha string, simhash bigint, minhash array<bigint>, "
+    "bands array<bigint>"
 )
 
 # sha256 of empty input — the analogue of the reference's hard-coded
@@ -112,7 +113,7 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     out["simhash"] = pd.array(
         [simhash64(c.split()) if c else None for c in norm], dtype="Int64"
     )
-    out["minhash"] = minhash_signature_batch(caps)
+    out["minhash"], out["bands"] = minhash_signature_batch(caps, with_bands=True)
     return pd.DataFrame(out)
 
 

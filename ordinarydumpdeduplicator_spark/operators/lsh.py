@@ -21,8 +21,9 @@ reference's all-empty-files mega-group (Common/BlobInfo.cs:49-51):
 Banding schemes (all JVM-side bit ops / array functions; the only Python
 in the near-dup path is the signature UDF in operators/features.py):
 
-- captions: ``BANDS x ROWS_PER_BAND`` MinHash banding, band key =
-  ``xxhash64(slice(minhash, b*r, r), b)``.
+- captions: ``BANDS x ROWS_PER_BAND`` MinHash banding; band keys are
+  precomputed vectorized inside the minhash Arrow UDF
+  (functions/minhash.band_keys_from_mins) and stored as ``bands``.
 - phash: choose-2-of-4 16-bit blocks -> 6 composite 32-bit keys; the
   pigeonhole bound guarantees every pair within Hamming distance <= 2 shares
   at least one composite key. (At 10^12 rows, single 16-bit blocks would
@@ -37,7 +38,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.minhash import BANDS, ROWS_PER_BAND
 
 DEFAULT_BUCKET_CAP = 256
 
@@ -54,26 +54,39 @@ def pairs_from_buckets(
     n-1 star edges to the bucket minimum plus a `capped=true` marker column
     so callers can log overflow.
 
-    ``materialize`` localCheckpoints the windowed bucket frame: it feeds
+    Plan shape (measured on 17M band rows): bucket stats come from a HASH
+    aggregate — count/min per (band, key) — then join back to the band
+    rows, instead of a count/min WINDOW, which would force a full sort of
+    the band frame after the exchange. The stats frame is tiny (only
+    multi-member buckets survive), so AQE turns the join into a broadcast
+    and the band frame is never exchanged a second time.
+
+    ``materialize`` localCheckpoints the joined bucket frame: it feeds
     THREE consumers (both sides of the pair self-join + the star branch),
     and without a cut Catalyst re-executes the whole upstream band DAG per
     consumer — measured 3x wall on the edges stage at 160k rows. On a
     cluster the equivalent is a persisted stage table (plans/pipeline.py
     checkpoints whole stages the same way)."""
-    w = Window.partitionBy("band", "key")
-    b = (
-        banded.select(F.col(id_col).alias("id"), "band", "key")
-        .withColumn("n", F.count(F.lit(1)).over(w))
-        .withColumn("mn", F.min("id").over(w))
+    rows = banded.select(F.col(id_col).alias("id"), "band", "key")
+    stats = (
+        rows.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("mn"))
         .filter(F.col("n") >= 2)
     )
+    b = rows.join(stats, ["band", "key"])
     if materialize:
         # lazy: materializes inside the FIRST consuming job, so independent
         # candidate families (caption, phash) compute concurrently instead
         # of serializing on eager checkpoint actions
         b = b.localCheckpoint(eager=False)
     small = b.filter(F.col("n") <= bucket_cap).select("id", "band", "key")
-    a, c = small.alias("a"), small.alias("b")
+    # SHUFFLE_HASH hint: the checkpointed bucket frame carries no size
+    # stats, so Catalyst happily BROADCASTS tens of millions of band rows
+    # (single-threaded driver hash-relation build — measured 40s flat at
+    # any core count). A shuffled hash join on (band, key) partitions the
+    # work and scales with the cluster; keys are near-unique so per-
+    # partition hash maps stay small.
+    a, c = small.alias("a"), small.hint("shuffle_hash").alias("b")
     p_small = (
         a.join(c, ["band", "key"])
         .where(F.col("a.id") < F.col("b.id"))
@@ -105,14 +118,15 @@ def caption_representatives(features: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Collapse identical normalized captions.
 
     Returns (reps, star_edges): reps = one row per distinct caption_sha with
-    its minhash signature; star_edges link collapsed members to the rep."""
-    f = features.filter(F.col("caption_sha").isNotNull() & F.col("minhash").isNotNull())
+    its precomputed LSH band keys; star_edges link collapsed members to the
+    rep."""
+    f = features.filter(F.col("caption_sha").isNotNull() & F.col("bands").isNotNull())
     w = Window.partitionBy("caption_sha")
-    tagged = f.select("image_id", "caption_sha", "minhash").withColumn(
+    tagged = f.select("image_id", "caption_sha", "bands").withColumn(
         "rep", F.min("image_id").over(w)
     )
     reps = tagged.filter(F.col("image_id") == F.col("rep")).select(
-        F.col("image_id").alias("id"), "minhash"
+        F.col("image_id").alias("id"), "bands"
     )
     star = (
         tagged.filter(F.col("image_id") != F.col("rep"))
@@ -126,17 +140,13 @@ def caption_representatives(features: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def caption_band_rows(reps: DataFrame) -> DataFrame:
-    """Explode each signature into (id, band, key) rows — JVM-side only:
-    band key = xxhash64 of the band's signature slice + band index."""
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(BANDS - 1)),
-        lambda i: F.xxhash64(
-            F.slice(F.col("minhash"), i * ROWS_PER_BAND + 1, ROWS_PER_BAND), i
-        ),
-    )
-    return (
-        reps.select("id", F.posexplode(band_keys).alias("band", "key"))
-    )
+    """Explode precomputed band keys into (id, band, key) rows.
+
+    The keys were computed vectorized inside the minhash Arrow UDF
+    (functions/minhash.band_keys_from_mins) — per-row JVM slice hashing
+    here was measured at ~8s per evaluation on 17M band rows; the explode
+    of a ready array is negligible."""
+    return reps.select("id", F.posexplode("bands").alias("band", "key"))
 
 
 def caption_candidates(

@@ -1,0 +1,229 @@
+"""Multimodal column operators: decode / resize / stats / frame-sample.
+
+Media payloads are opaque ``binary`` columns with typed metadata (the
+input-table shape mandated by BASELINE.json ``input_hint``). Everything
+here is ``mapInPandas`` over Arrow batches — schema, partitioning and batch
+shape are the real cluster-scale plumbing; the *codec* layer is pluggable:
+
+- images: REAL — the engine ships pure-numpy png/bmp/quantized-jpg codecs
+  (fixtures/codecs.py), so decode/resize/stats run end-to-end in tests.
+- audio/video: STUBBED — this environment has no media libraries, so the
+  decode step raises ``NotImplementedError`` in strict mode or produces a
+  clearly-marked deterministic fake (hash-seeded) otherwise. The Spark-side
+  contract (schemas, vectorized batch processing, per-row error handling)
+  is identical to what a real libsndfile/ffmpeg-backed UDF would use.
+
+Arrow batch sizing note: decoded pixel rows are ~W*H*3 bytes; the session
+caps ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of
+decoded frames stays well under executor memory (session.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..fixtures import codecs
+from ..fixtures.codecs import psnr  # noqa: F401  (re-export for callers)
+
+DECODED_SCHEMA = (
+    "image_id string, w int, h int, status string, pixels binary"
+)
+RESIZED_SCHEMA = "image_id string, w int, h int, status string, bytes binary"
+STATS_SCHEMA = (
+    "image_id string, status string, mean_r double, mean_g double, "
+    "mean_b double, std_gray double"
+)
+AUDIO_FEATURES_SCHEMA = (
+    "audio_id string, status string, n_samples long, rms double, "
+    "zero_crossings long"
+)
+FRAMES_SCHEMA = "video_id string, frame_idx int, status string, bytes binary"
+
+
+def decode_images(images: DataFrame) -> DataFrame:
+    """(image_id, bytes, ...) -> decoded raw RGB rows.
+
+    pixels = H*W*3 uint8 buffer (row-major); undecodable rows get
+    status='unreadable' with NULL pixels instead of failing the task —
+    the permissive-mode analogue of the reference's per-subtree error
+    swallowing (Common/FsUtils.cs:56-112)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for img_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    px = codecs.decode(bytes(data) if data is not None else None)
+                    out.append((img_id, px.shape[1], px.shape[0], "ok",
+                                px.tobytes()))
+                except ValueError:
+                    out.append((img_id, 0, 0, "unreadable", None))
+            yield pd.DataFrame(
+                out, columns=["image_id", "w", "h", "status", "pixels"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, schema=DECODED_SCHEMA
+    )
+
+
+def resize_images(images: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
+    """Thumbnail pass: decode -> area-mean resample -> re-encode png."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.phash import _area_mean_resample
+
+        for pdf in batches:
+            out = []
+            for img_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    px = codecs.decode(bytes(data) if data is not None else None)
+                    resized = np.stack(
+                        [
+                            _area_mean_resample(
+                                px[:, :, c].astype(np.float64), out_h, out_w
+                            )
+                            for c in range(3)
+                        ],
+                        axis=2,
+                    )
+                    thumb = codecs.encode(
+                        np.clip(resized, 0, 255).astype(np.uint8), "png"
+                    )
+                    out.append((img_id, out_w, out_h, "ok", thumb))
+                except ValueError:
+                    out.append((img_id, 0, 0, "unreadable", None))
+            yield pd.DataFrame(
+                out, columns=["image_id", "w", "h", "status", "bytes"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+def image_stats(images: DataFrame) -> DataFrame:
+    """Per-image channel means + grayscale std — feature-extraction shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for img_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    px = codecs.decode(
+                        bytes(data) if data is not None else None
+                    ).astype(np.float64)
+                    gray = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+                    out.append(
+                        (img_id, "ok", float(px[:, :, 0].mean()),
+                         float(px[:, :, 1].mean()), float(px[:, :, 2].mean()),
+                         float(gray.std()))
+                    )
+                except ValueError:
+                    out.append((img_id, "unreadable", None, None, None, None))
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "status", "mean_r", "mean_g", "mean_b",
+                         "std_gray"],
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, schema=STATS_SCHEMA
+    )
+
+
+# ------------------------------------------------------------ audio / video
+
+
+def _fake_waveform(seed_key: str, n: int = 4096) -> np.ndarray:
+    """Deterministic FAKE decode (clearly marked): hash-seeded waveform.
+
+    Stands in for a real libsndfile/ffmpeg decode, which is unavailable in
+    this environment. Same (audio_id, bytes) -> same waveform."""
+    h = hashlib.blake2b(seed_key.encode(), digest_size=8).digest()
+    rng = np.random.default_rng(int.from_bytes(h, "little"))
+    return rng.standard_normal(n).astype(np.float32)
+
+
+def audio_features(audio: DataFrame, strict: bool = False) -> DataFrame:
+    """(audio_id, bytes) -> rms / zero-crossing features.
+
+    strict=True raises NotImplementedError at plan-build time: real audio
+    decoding needs an external codec library not present here. Non-strict
+    mode substitutes the deterministic fake so the distributed plumbing
+    (schema, batching, aggregation downstream) is fully testable."""
+    if strict:
+        raise NotImplementedError(
+            "audio decode requires an external codec library (e.g. "
+            "libsndfile); not available in this environment — stubbed"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                if data is None:
+                    out.append((aid, "unreadable", None, None, None))
+                    continue
+                wave = _fake_waveform(f"{aid}:{len(bytes(data))}")
+                zc = int(np.count_nonzero(np.diff(np.signbit(wave))))
+                out.append(
+                    (aid, "fake_decode", len(wave),
+                     float(np.sqrt((wave ** 2).mean())), zc)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["audio_id", "status", "n_samples", "rms",
+                         "zero_crossings"],
+            )
+
+    return audio.select("audio_id", "bytes").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def video_frame_sample(
+    video: DataFrame, n_frames: int = 4, strict: bool = False
+) -> DataFrame:
+    """(video_id, bytes) -> sampled frame rows (one output row per frame).
+
+    Row-expanding UDTF-shaped mapInPandas: each input row yields
+    ``n_frames`` frame rows. strict=True raises (no ffmpeg here);
+    non-strict emits deterministic fake frames encoded with the real png
+    codec, so downstream image operators (decode/phash/dedup) compose."""
+    if strict:
+        raise NotImplementedError(
+            "video decode requires ffmpeg-like tooling; not available in "
+            "this environment — stubbed"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                if data is None:
+                    out.append((vid, -1, "unreadable", None))
+                    continue
+                for k in range(n_frames):
+                    h = hashlib.blake2b(
+                        f"{vid}:{k}".encode(), digest_size=8
+                    ).digest()
+                    rng = np.random.default_rng(int.from_bytes(h, "little"))
+                    frame = rng.integers(
+                        0, 256, size=(16, 16, 3), dtype=np.uint8
+                    )
+                    out.append(
+                        (vid, k, "fake_decode", codecs.encode(frame, "png"))
+                    )
+            yield pd.DataFrame(
+                out, columns=["video_id", "frame_idx", "status", "bytes"]
+            )
+
+    return video.select("video_id", "bytes").mapInPandas(
+        run, schema=FRAMES_SCHEMA
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.minhash import minhash_udf
+from ..functions.minhash import band_keys_udf
 from .lsh import caption_band_rows, pairs_from_buckets
 from .verify import verify_caption_pairs
 
@@ -69,8 +69,8 @@ def minhash_candidate_pairs(
     shared banding machinery; cast back by the caller if needed)."""
     sigs = docs.select(
         F.col(id_col).cast("string").alias("id"),
-        minhash_udf(F.col(text_col)).alias("minhash"),
-    ).filter(F.col("minhash").isNotNull())
+        band_keys_udf(F.col(text_col)).alias("bands"),
+    ).filter(F.col("bands").isNotNull())
     banded = caption_band_rows(sigs)
     return pairs_from_buckets(banded, bucket_cap=bucket_cap)
 

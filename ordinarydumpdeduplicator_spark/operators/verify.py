@@ -56,10 +56,19 @@ def verify_caption_pairs(
     jaccard_threshold: float = JACCARD_THRESHOLD,
     lcs_ratio: float = LCS_RATIO,
 ) -> DataFrame:
-    """pairs(src,dst) + images(image_id, caption) -> verified edges."""
+    """pairs(src,dst) + images(image_id, caption) -> verified edges.
+
+    The candidate frame is tiny relative to the corpus, so AQE coalesces it
+    to ~1 partition — which would serialize the per-pair Python verification
+    (measured: the whole edges stage flatlined at ~41s regardless of core
+    count, all of it one task running LCS). Explicitly repartition the
+    pairs across the cluster before the UDF stage: the shuffle is a few MB,
+    the unlocked parallelism is the entire verify cost."""
     caps = images.select("image_id", "caption")
+    n_parts = pairs.sparkSession.sparkContext.defaultParallelism
     joined = (
-        pairs.join(
+        pairs.repartition(n_parts, "src", "dst")
+        .join(
             caps.withColumnRenamed("image_id", "src").withColumnRenamed(
                 "caption", "cap_a"
             ),
