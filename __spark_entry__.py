@@ -109,6 +109,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("src").alias("doc_id_a"), F.col("dst").alias("doc_id_b")
         )
 
+    def q_simhash_near_pairs(spark, sf):  # rows-only (blake2b not in SQL)
+        from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+            simhash_near_pairs,
+        )
+
+        return simhash_near_pairs(_docs(spark, sf))
+
+    def q_embedding_dup_pairs(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.similarity import (
+            embedding_dup_pairs,
+        )
+
+        return embedding_dup_pairs(_tbl(spark, sf, "embeddings"), threshold=0.4)
+
+    def q_embedding_near_pairs_lsh(spark, sf):  # rows-only (sketch not in SQL)
+        from ordinarydumpdeduplicator_spark.operators.similarity import (
+            embedding_near_pairs_lsh,
+        )
+
+        return embedding_near_pairs_lsh(
+            _tbl(spark, sf, "embeddings"), dim=64, threshold=0.4
+        )
+
     # ----- windows / CDC (O5/O6/J6) -----
 
     def q_latest_event_per_user(spark, sf):
@@ -253,6 +276,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fingerprints(spark, sf):
         return fingerprints(_docs(spark, sf))
 
+    def q_bpe_token_stats(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.text_analysis import (
+            bpe_token_stats,
+        )
+
+        return bpe_token_stats(_docs(spark, sf))
+
+    def q_winnowing_fingerprints(spark, sf):  # rows-only (strided numpy)
+        from ordinarydumpdeduplicator_spark.operators.text_analysis import (
+            winnowing_fingerprints,
+        )
+
+        return winnowing_fingerprints(_docs(spark, sf)).select(
+            "doc_id", F.size("fingerprint").alias("n_fingerprints")
+        )
+
     def q_lang_distribution(spark, sf):
         return (
             _docs(spark, sf)
@@ -284,6 +323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "near_dup_text_pairs": q_near_dup_text_pairs,
         "minhash_candidates": q_minhash_candidates,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "latest_event_per_user": q_latest_event_per_user,
         "event_value_cdc": q_event_value_cdc,
         "orders_fully_shipped_early": q_orders_fully_shipped_early,
@@ -298,6 +340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "bpe_token_stats": q_bpe_token_stats,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
         "lang_distribution": q_lang_distribution,
         "topk_similar": q_topk_similar,
         "lsh_topk": q_lsh_topk,
@@ -360,6 +404,11 @@ def oracle_sql() -> dict[str, str]:
                    len(list_distinct(list_concat(a.toks, b.toks))) AS n_union
             FROM base a JOIN base b ON a.blk = b.blk
             WHERE a.doc_id < b.doc_id AND abs(a.len - b.len) <= 5
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         """,
         "latest_event_per_user": """
             SELECT user_id, event_id, event_type, value FROM (
@@ -490,6 +539,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprints": f"""
             SELECT doc_id, md5({_NORM}) AS fp_md5, sha256({_NORM}) AS fp_sha256
+            FROM documents
+        """,
+        "bpe_token_stats": """
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '[^0-9A-Za-z_]+'),
+                                   x -> x <> '')) AS n_word_tokens,
+                   length(regexp_replace(text, '[0-9A-Za-z_\\s]', '', 'g'))
+                     AS n_punct_tokens,
+                   len(list_filter(string_split_regex(text, '[^0-9A-Za-z_]+'),
+                                   x -> x <> ''))
+                   + length(regexp_replace(text, '[0-9A-Za-z_\\s]', '', 'g'))
+                     AS n_bpe_ish_tokens
             FROM documents
         """,
         "lang_distribution": """

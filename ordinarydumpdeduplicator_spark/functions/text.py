@@ -96,3 +96,39 @@ def quality_score_cols(col: str | Column) -> dict[str, Column]:
             / n_tokens
         )).otherwise(F.lit(0.0)).cast("double"),
     }
+
+
+_SIZE_UNITS = ["bytes", "KiB", "MiB", "GiB", "TiB", "PiB"]
+
+
+def data_size_string(n_bytes: int) -> str:
+    """Human size formatting — log-1024 bucketing to bytes..PiB, rounded
+    (F7; reference Common/Helper.cs:7-45 GetDataSizeString)."""
+    if n_bytes < 0:
+        raise ValueError("negative size")
+    size = float(n_bytes)
+    for unit in _SIZE_UNITS:
+        if size < 1024 or unit == _SIZE_UNITS[-1]:
+            if unit == "bytes":
+                return f"{int(size)} {unit}"
+            return f"{round(size, 1):g} {unit}"
+        size /= 1024.0
+
+
+def data_size_col(col):
+    """Column version for report output (presentation only)."""
+    from pyspark.sql import functions as F
+
+    c = col.cast("double")
+    log_idx = F.when(c <= 0, F.lit(0)).otherwise(
+        F.least(F.floor(F.log(1024.0, c)).cast("int"), F.lit(5))
+    )
+    unit = F.element_at(F.array(*[F.lit(u) for u in _SIZE_UNITS]), log_idx + 1)
+    scaled = c / F.pow(F.lit(1024.0), log_idx.cast("double"))
+    return F.concat(
+        F.when(log_idx == 0, F.floor(scaled).cast("string")).otherwise(
+            F.round(scaled, 1).cast("string")
+        ),
+        F.lit(" "),
+        unit,
+    )

@@ -21,7 +21,7 @@ count(*) over the same partition reuses the exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -36,17 +36,23 @@ def exact_clusters(features: DataFrame, require_dupes: bool = True) -> DataFrame
 
     cluster_id = min(image_id) within the content-key group; with
     require_dupes (HAVING n>1) singletons are dropped — duplicate groups
-    only, as GetDuplicates returns (DataControllerSimple.cs:288-301)."""
-    w = Window.partitionBy("size", "sha")
-    out = (
-        readable(features)
-        .select("image_id", "size", "sha")
-        .withColumn("cluster_id", F.min("image_id").over(w))
-        .withColumn("n_members", F.count(F.lit(1)).over(w))
+    only, as GetDuplicates returns (DataControllerSimple.cs:288-301).
+
+    Plan shape: hash-aggregate group stats + equi-join back, instead of a
+    window — a window would SORT every row by the 64-char sha string after
+    the exchange; the aggregate gets map-side partial combine and the join
+    ships the same skinny columns. Same one-exchange-per-side cost class,
+    no sort."""
+    rows = readable(features).select("image_id", "size", "sha")
+    groups = rows.groupBy("size", "sha").agg(
+        F.min("image_id").alias("cluster_id"),
+        F.count(F.lit(1)).alias("n_members"),
     )
     if require_dupes:
-        out = out.filter(F.col("n_members") > 1)
-    return out
+        groups = groups.filter(F.col("n_members") > 1)
+    return rows.join(groups, ["size", "sha"]).select(
+        "image_id", "size", "sha", "cluster_id", "n_members"
+    )
 
 
 def exact_edges(features: DataFrame) -> DataFrame:

@@ -72,6 +72,22 @@ def simhash64(toks: list[str]) -> int:
     return v
 
 
+def simhash_text_udf():
+    """pandas UDF: text -> 64-bit token SimHash (None for empty text)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [simhash64(tokens(t)) if t else None for t in texts],
+            index=texts.index,
+            dtype="Int64",
+        )
+
+    return _udf
+
+
 def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     n = len(pdf)
     out = {

@@ -35,7 +35,7 @@ in the near-dup path is the signature UDF in operators/features.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -75,10 +75,13 @@ def pairs_from_buckets(
     )
     b = rows.join(stats, ["band", "key"])
     if materialize:
-        # lazy: materializes inside the FIRST consuming job, so independent
-        # candidate families (caption, phash) compute concurrently instead
-        # of serializing on eager checkpoint actions
-        b = b.localCheckpoint(eager=False)
+        # EAGER on purpose: three consumers read b, and a lazy checkpoint
+        # materializes only as the first consuming job runs — concurrent
+        # tasks of that job then recompute b's upstream up to 3x before
+        # blocks land (measured 34s vs 11s on 17M band rows). Callers that
+        # want cross-family overlap build each family in its own thread
+        # (plans/pipeline.py).
+        b = b.localCheckpoint()
     small = b.filter(F.col("n") <= bucket_cap).select("id", "band", "key")
     # SHUFFLE_HASH hint: the checkpointed bucket frame carries no size
     # stats, so Catalyst happily BROADCASTS tens of millions of band rows
@@ -121,15 +124,20 @@ def caption_representatives(features: DataFrame) -> tuple[DataFrame, DataFrame]:
     its precomputed LSH band keys; star_edges link collapsed members to the
     rep."""
     f = features.filter(F.col("caption_sha").isNotNull() & F.col("bands").isNotNull())
-    w = Window.partitionBy("caption_sha")
-    tagged = f.select("image_id", "caption_sha", "bands").withColumn(
-        "rep", F.min("image_id").over(w)
+    # HASH aggregate, not a window: a window would exchange AND SORT every
+    # row together with its 32-long band array (measured ~5s per evaluation
+    # at 640k rows); the aggregate gets map-side partial min/any_value
+    # (identical captions carry identical bands, so any_value is exact) and
+    # never sorts. The star join below ships only skinny columns.
+    reps_map = (
+        f.groupBy("caption_sha")
+        .agg(F.min("image_id").alias("id"), F.any_value("bands").alias("bands"))
     )
-    reps = tagged.filter(F.col("image_id") == F.col("rep")).select(
-        F.col("image_id").alias("id"), "bands"
-    )
+    reps = reps_map.select("id", "bands")
     star = (
-        tagged.filter(F.col("image_id") != F.col("rep"))
+        f.select("image_id", "caption_sha")
+        .join(reps_map.select("caption_sha", F.col("id").alias("rep")), "caption_sha")
+        .filter(F.col("image_id") != F.col("rep"))
         .select(
             F.col("rep").alias("src"),
             F.col("image_id").alias("dst"),
@@ -169,15 +177,12 @@ def caption_candidates(
 def phash_representatives(features: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Collapse identical phash values (same trick as captions)."""
     f = features.filter(F.col("phash_v").isNotNull())
-    w = Window.partitionBy("phash_v")
-    tagged = f.select("image_id", "phash_v").withColumn(
-        "rep", F.min("image_id").over(w)
-    )
-    reps = tagged.filter(F.col("image_id") == F.col("rep")).select(
-        F.col("image_id").alias("id"), F.col("phash_v").alias("phash")
-    )
+    reps_map = f.groupBy("phash_v").agg(F.min("image_id").alias("id"))
+    reps = reps_map.select("id", F.col("phash_v").alias("phash"))
     star = (
-        tagged.filter(F.col("image_id") != F.col("rep"))
+        f.select("image_id", "phash_v")
+        .join(reps_map.select("phash_v", F.col("id").alias("rep")), "phash_v")
+        .filter(F.col("image_id") != F.col("rep"))
         .select(
             F.col("rep").alias("src"),
             F.col("image_id").alias("dst"),

@@ -7,8 +7,11 @@ every query is whole-stage-codegen and SQL-oracle-checkable.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.text import tokens_col
 from .text_dedup import normalized_text
@@ -85,4 +88,70 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.col(id_col).alias("doc_id"),
         F.md5(norm).alias("fp_md5"),
         F.sha2(norm, 256).alias("fp_sha256"),
+    )
+
+
+def bpe_token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting: split on word/punctuation boundaries
+    (``\\w+`` runs and single non-space punctuation marks each count as one
+    token), approximating subword tokenizer counts far better than
+    whitespace for budget estimation. Pure regexp — codegen, oracle-able."""
+    c = F.col(text_col)
+    # count matches by deleting them: n = len - len(without word-runs) etc.
+    word_runs = F.size(
+        F.filter(F.split(c, r"[^0-9A-Za-z_]+"), lambda x: x != "")
+    )
+    punct = F.length(F.regexp_replace(c, r"[0-9A-Za-z_\s]", ""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_runs.cast("long").alias("n_word_tokens"),
+        punct.cast("long").alias("n_punct_tokens"),
+        (word_runs + punct).cast("long").alias("n_bpe_ish_tokens"),
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprinting with winnowing (Schleimer et
+    al., SIGMOD'03): k-gram rolling hashes over the normalized character
+    stream, min hash per sliding window, deduplicated — the standard
+    near-copy detection sketch. Vectorized numpy inside an Arrow UDF;
+    output ``array<bigint>`` sorted ascending (deterministic)."""
+    B = np.uint64(1000000007)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t:
+                out.append(None)
+                continue
+            s = " ".join(t.lower().split())
+            a = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+            if a.size < k:
+                out.append(None)
+                continue
+            n = a.size - k + 1
+            with np.errstate(over="ignore"):
+                # h[i] = sum b^(k-1-j) * a[i+j] via strided matmul-free fold
+                h = np.zeros(n, dtype=np.uint64)
+                for j in range(k):
+                    h = h * B + a[j : j + n].astype(np.uint64)
+            if n < window:
+                sel = np.array([h.min()], dtype=np.uint64)
+            else:
+                m = np.lib.stride_tricks.sliding_window_view(h, window)
+                sel = m.min(axis=1)
+            fp = np.unique(sel.astype(np.int64))
+            out.append(fp.tolist())
+        return pd.Series(out, index=texts.index, dtype=object)
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        winnow(F.col(text_col)).alias("fingerprint"),
     )

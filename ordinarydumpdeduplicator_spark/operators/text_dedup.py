@@ -138,3 +138,55 @@ def token_jaccard_pairs(
             F.size(F.array_union("toks_a", "toks_b")).cast("long").alias("n_union"),
         )
     )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hamming_threshold: int = 6,
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """SimHash near-duplicate pairs over document text.
+
+    64-bit token SimHash (vectorized Arrow UDF) -> 4x16-bit block bands
+    (pigeonhole: any pair with Hamming <= 3 shares a block; the verify
+    filter then applies the full threshold) -> candidate pairs -> exact
+    Hamming via JVM bit_count. Output: (doc_id_a, doc_id_b, hamming)."""
+    from .features import simhash_text_udf
+
+    simhash_udf = simhash_text_udf()
+    sh = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        simhash_udf(F.col(text_col)).alias("simhash"),
+    ).filter(F.col("simhash").isNotNull())
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.shiftright("simhash", 16 * k)
+                .bitwiseAND(F.lit(0xFFFF))
+                .cast("long")
+                .alias("key"),
+            )
+            for k in range(4)
+        ]
+    )
+    banded = sh.select("id", "simhash", F.explode(entries).alias("e")).select(
+        "id", "simhash", F.col("e.band").alias("band"), F.col("e.key").alias("key")
+    )
+    cands = pairs_from_buckets(banded, bucket_cap=bucket_cap)
+    sh_a = sh.select(F.col("id").alias("src"), F.col("simhash").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("dst"), F.col("simhash").alias("sh_b"))
+    return (
+        cands.join(sh_a, "src")
+        .join(sh_b, "dst")
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= hamming_threshold)
+        .select(
+            F.col("src").alias("doc_id_a"),
+            F.col("dst").alias("doc_id_b"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+    )

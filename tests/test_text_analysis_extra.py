@@ -1,0 +1,91 @@
+"""Winnowing fingerprints, BPE-ish token counts, size formatting (F7)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ordinarydumpdeduplicator_spark.functions.text import (
+    data_size_string,
+)
+from ordinarydumpdeduplicator_spark.operators.text_analysis import (
+    bpe_token_stats,
+    winnowing_fingerprints,
+)
+
+
+def winnow_oracle(text: str, k: int = 5, window: int = 4) -> list[int]:
+    s = " ".join(text.lower().split())
+    a = s.encode("utf-8")
+    if len(a) < k:
+        return None
+    hs = []
+    for i in range(len(a) - k + 1):
+        h = np.uint64(0)
+        for ch in a[i : i + k]:
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(1000000007) + np.uint64(ch)
+        hs.append(int(h))
+    if len(hs) < window:
+        sel = [min(hs)]
+    else:
+        sel = [min(hs[i : i + window]) for i in range(len(hs) - window + 1)]
+    return sorted({np.uint64(x).astype(np.int64).item() for x in sel})
+
+
+def test_winnowing_matches_oracle(spark):
+    texts = [
+        ("d1", "The quick brown fox jumps over the lazy dog"),
+        ("d2", "the   QUICK brown fox jumps over the lazy dog"),  # normalizes same
+        ("d3", "completely different document text here"),
+        ("d4", "ab"),       # shorter than k -> None
+        ("d5", None),
+    ]
+    df = spark.createDataFrame(texts, "doc_id string, text string")
+    got = {r["doc_id"]: r["fingerprint"] for r in winnowing_fingerprints(df).collect()}
+    assert got["d1"] == winnow_oracle(texts[0][1])
+    assert got["d1"] == got["d2"]  # normalization-invariant
+    assert got["d3"] == winnow_oracle(texts[2][1])
+    assert got["d3"] != got["d1"]
+    assert got["d4"] is None and got["d5"] is None
+
+
+def test_bpe_token_stats(spark):
+    df = spark.createDataFrame(
+        [("d1", "Hello, world! It's 42."), ("d2", ""), ("d3", "abc")],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r for r in bpe_token_stats(df).collect()}
+    # word runs: Hello | world | It | s | 42  -> 5 ; punct: , ! ' .  -> 4
+    assert rows["d1"]["n_word_tokens"] == 5
+    assert rows["d1"]["n_punct_tokens"] == 4
+    assert rows["d1"]["n_bpe_ish_tokens"] == 9
+    assert rows["d2"]["n_bpe_ish_tokens"] == 0
+    assert rows["d3"]["n_bpe_ish_tokens"] == 1
+
+
+@pytest.mark.parametrize(
+    "n,expected",
+    [
+        (0, "0 bytes"),
+        (1023, "1023 bytes"),
+        (1024, "1 KiB"),
+        (1536, "1.5 KiB"),
+        (1048576, "1 MiB"),
+        (5 * 1024**4, "5 TiB"),
+        (3 * 1024**5, "3 PiB"),
+    ],
+)
+def test_data_size_string(n, expected):
+    assert data_size_string(n) == expected
+
+
+def test_data_size_col(spark):
+    from pyspark.sql import functions as F
+    from ordinarydumpdeduplicator_spark.functions.text import data_size_col
+
+    df = spark.createDataFrame(
+        [(0,), (1023,), (1024,), (1536,), (1048576,)], "n long"
+    )
+    got = [r[0] for r in df.select(data_size_col(F.col("n"))).collect()]
+    assert got == ["0 bytes", "1023 bytes", "1.0 KiB", "1.5 KiB", "1.0 MiB"]
