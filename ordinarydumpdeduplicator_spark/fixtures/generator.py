@@ -165,12 +165,18 @@ CAPTION_TIERS = [1, 2, 8]  # words replaced out of 24 -> shingle J ~.78/.6/.2;
 
 
 def gen_row(
-    i: int, plan: CorpusPlan, seed: int = 42, img_size: tuple[int, int] = (32, 24)
+    i: int,
+    plan: CorpusPlan,
+    seed: int = 42,
+    img_size: tuple[int, int] = (32, 24),
+    fmts: tuple[str, ...] = ("png", "bmp", "jpg"),
 ) -> dict:
     """Generate row i of the corpus — pure function of (i, plan.n, seed,
-    img_size). ``img_size`` scales the pixel payload: tests use the tiny
-    default; the scaling bench uses larger frames so per-image decode cost
-    is representative of a real corpus."""
+    img_size, fmts). ``img_size`` scales the pixel payload: tests use the
+    tiny default; the scaling bench uses larger frames so per-image decode
+    cost is representative of a real corpus. ``fmts`` sets the container
+    mix (bench uses png+jpg — raw BMP is not what a web-scale corpus
+    stores)."""
     cls_name, unit, member = plan.locate(i)
     image_id = f"img_{i:09d}"
     w, h = img_size
@@ -189,7 +195,8 @@ def gen_row(
     if cls_name == "exact":
         rng = _rng(seed, "exact", unit)
         pixels = _make_pixels(rng, w, h)
-        fmt = _FMTS[unit % 2]  # png/bmp (lossless -> identical bytes)
+        lossless = [f for f in fmts if f != "jpg"] or ["png"]
+        fmt = lossless[unit % len(lossless)]  # lossless -> identical bytes
         data = codecs.encode(pixels, fmt)
         cap = " ".join(_make_caption(rng, 16))
         ph = phash64(codecs.decode(data))
@@ -224,7 +231,7 @@ def gen_row(
             _rng(seed, "capnear-perturb", unit), base_words, tier
         )
         pixels = _make_pixels(_rng(seed, "capnear-img", unit, member), w, h)
-        fmt = _FMTS[(unit + member) % 3]
+        fmt = fmts[(unit + member) % len(fmts)]
         data = codecs.encode(pixels, fmt)
         ph = phash64(codecs.decode(data))
         return dict(image_id=image_id, bytes=data, w=w, h=h, fmt=fmt,
@@ -240,7 +247,7 @@ def gen_row(
 
     rng = _rng(seed, "unique", unit)
     pixels = _make_pixels(rng, w, h)
-    fmt = _FMTS[unit % 3]
+    fmt = fmts[unit % len(fmts)]
     data = codecs.encode(pixels, fmt)
     cap = " ".join(_make_caption(rng, 14)) + f" uid{unit}"
     ph = phash64(codecs.decode(data))
@@ -252,7 +259,10 @@ IMAGE_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
 
 
 def make_corpus(
-    n: int, seed: int = 42, img_size: tuple[int, int] = (32, 24)
+    n: int,
+    seed: int = 42,
+    img_size: tuple[int, int] = (32, 24),
+    fmts: tuple[str, ...] = ("png", "bmp", "jpg"),
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Driver-side corpus: (images_pdf with hidden _class/_unit, golden_pairs).
 
@@ -262,7 +272,7 @@ def make_corpus(
     hot (identical hot caption).
     """
     plan = CorpusPlan.make(n)
-    rows = [gen_row(i, plan, seed, img_size) for i in range(n)]
+    rows = [gen_row(i, plan, seed, img_size, fmts) for i in range(n)]
     pdf = pd.DataFrame(rows)
 
     pairs: list[tuple[str, str, str]] = []
@@ -299,6 +309,7 @@ def spark_images_df(
     seed: int = 42,
     partitions: int | None = None,
     img_size: tuple[int, int] = (32, 24),
+    fmts: tuple[str, ...] = ("png", "bmp", "jpg"),
 ):
     """Distributed corpus generation for bench scale: each partition
     generates its own id range via mapInPandas (no driver materialization).
@@ -319,7 +330,8 @@ def spark_images_df(
     def gen_batches(iterator):
         for pdf in iterator:
             recs = [
-                {k: v for k, v in gen_row(int(i), plan, seed, img_size).items()
+                {k: v for k, v in
+                 gen_row(int(i), plan, seed, img_size, fmts).items()
                  if not k.startswith("_")}
                 for i in pdf["id"]
             ]

@@ -89,3 +89,23 @@ def phash64(pixels: np.ndarray) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return int(bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1"))
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash (row-gradient sign on an 8x9 grayscale
+    downsample) — the standard complement to DCT pHash: dHash keys on
+    local edge structure where pHash keys on global low-frequency energy,
+    so together they separate near-dup classes neither catches alone."""
+    g = (
+        0.299 * pixels[:, :, 0]
+        + 0.587 * pixels[:, :, 1]
+        + 0.114 * pixels[:, :, 2]
+    ).astype(np.float64)
+    small = _area_mean_resample(g, 8, 9)
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v

@@ -37,12 +37,13 @@ from pyspark.sql import DataFrame
 
 from ..fixtures import codecs
 from ..functions.minhash import minhash_signature_batch
-from ..functions.phash import phash64
+from ..functions.phash import dhash64, phash64
 from ..functions.text import tokens
 
 FEATURES_SCHEMA = (
     "image_id string, size bigint, sha string, status string, "
-    "w_actual int, h_actual int, phash_v bigint, "
+    "w_actual int, h_actual int, phash_v bigint, dhash_v bigint, "
+    "gray_mean double, gray_std double, "
     "caption_sha string, simhash bigint, minhash array<bigint>, "
     "bands array<bigint>"
 )
@@ -98,6 +99,9 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         "w_actual": np.zeros(n, dtype=np.int32),
         "h_actual": np.zeros(n, dtype=np.int32),
         "phash_v": [None] * n,
+        "dhash_v": [None] * n,
+        "gray_mean": [None] * n,
+        "gray_std": [None] * n,
     }
     for i, data in enumerate(pdf["bytes"]):
         if data is None:
@@ -117,9 +121,17 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         out["sha"][i] = hashlib.sha256(b).hexdigest()
         out["h_actual"][i], out["w_actual"][i] = pixels.shape[0], pixels.shape[1]
         out["phash_v"][i] = phash64(pixels)
+        out["dhash_v"][i] = dhash64(pixels)
+        gray = (0.299 * pixels[:, :, 0] + 0.587 * pixels[:, :, 1]
+                + 0.114 * pixels[:, :, 2])
+        out["gray_mean"][i] = float(gray.mean())
+        out["gray_std"][i] = float(gray.std())
 
     # nullable Int64 (not float64!) so None never degrades int64 precision
     out["phash_v"] = pd.array(out["phash_v"], dtype="Int64")
+    out["dhash_v"] = pd.array(out["dhash_v"], dtype="Int64")
+    out["gray_mean"] = pd.array(out["gray_mean"], dtype="Float64")
+    out["gray_std"] = pd.array(out["gray_std"], dtype="Float64")
 
     caps = pdf["caption"]
     norm = caps.fillna("").map(lambda c: " ".join(tokens(c)))

@@ -36,9 +36,24 @@ def build_pyfiles_zip(dest: str) -> str:
     return dest
 
 
-def materialize_corpus(n: int, data_dir: str, partitions: int = 128) -> str:
-    """Generate the deterministic corpus once (seed=42), shared by all runs."""
-    path = os.path.join(data_dir, f"scaling_corpus_{n}")
+def materialize_corpus(
+    n: int,
+    data_dir: str,
+    partitions: int = 128,
+    img_size: tuple[int, int] = (256, 192),
+    fmts: tuple[str, ...] = ("png", "jpg"),
+) -> str:
+    """Generate the deterministic corpus once (seed=42), shared by all runs.
+
+    Default 256x192 pixels: representative of a real image corpus, where
+    decode + perceptual hashing dominates per-row cost (the tiny 32x24
+    test-fixture frames make the benchmark caption-bound instead, which no
+    production image pipeline is). Container mix png+jpg — what a web
+    corpus actually stores (raw BMP would triple the bytes for nothing)."""
+    w, h = img_size
+    path = os.path.join(
+        data_dir, f"scaling_corpus_{n}_{w}x{h}_{'-'.join(fmts)}"
+    )
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     sys.path.insert(0, REPO)
@@ -46,9 +61,9 @@ def materialize_corpus(n: int, data_dir: str, partitions: int = 128) -> str:
     from ordinarydumpdeduplicator_spark.session import get_spark
 
     spark = get_spark("odd_scaling_gen", cores=os.cpu_count() or 32)
-    spark_images_df(spark, n, partitions=partitions).write.mode(
-        "overwrite"
-    ).parquet(path)
+    spark_images_df(
+        spark, n, partitions=partitions, img_size=img_size, fmts=fmts
+    ).write.mode("overwrite").parquet(path)
     spark.stop()
     return path
 
@@ -180,11 +195,17 @@ def main() -> None:
         "--repeats", type=int, default=2,
         help="cold runs per parallelism level; best wall kept (JIT/GC noise)",
     )
+    ap.add_argument("--img-w", type=int, default=256)
+    ap.add_argument("--img-h", type=int, default=192)
     args = ap.parse_args()
 
     os.makedirs(args.data_dir, exist_ok=True)
     zip_path = build_pyfiles_zip(os.path.join(args.data_dir, "odd_pyfiles.zip"))
-    corpus = materialize_corpus(args.n, args.data_dir)
+    corpus = materialize_corpus(
+        args.n, args.data_dir, img_size=(args.img_w, args.img_h)
+    )
+    # stale-corpus housekeeping is the operator's job; corpora are keyed by
+    # (n, dims, fmts) so differently-shaped runs never collide
 
     results = [
         min(
