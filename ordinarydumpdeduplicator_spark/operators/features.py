@@ -35,6 +35,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..functions import malloc_tuning  # noqa: F401 (worker-side mallopt)
 from ..fixtures import codecs
 from ..functions.minhash import minhash_signature_batch
 from ..functions.phash import dhash64, phash64

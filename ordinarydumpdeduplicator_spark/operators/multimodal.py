@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..functions import malloc_tuning  # noqa: F401 (worker-side mallopt)
 from ..fixtures import codecs
 from ..fixtures.codecs import psnr  # noqa: F401  (re-export for callers)
 

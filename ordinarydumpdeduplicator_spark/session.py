@@ -12,6 +12,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from .functions import malloc_tuning  # noqa: F401 (driver-side mallopt)
+
 # Arrow batch size: input rows carry multi-MB `bytes` payloads, so cap the
 # rows per Arrow batch to bound executor memory (SURVEY.md §4 item 4).
 ARROW_MAX_RECORDS = 1024

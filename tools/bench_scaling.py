@@ -61,9 +61,13 @@ def materialize_corpus(
     from ordinarydumpdeduplicator_spark.session import get_spark
 
     spark = get_spark("odd_scaling_gen", cores=os.cpu_count() or 32)
+    # Hash-repartition on image_id: the generator lays classes out in
+    # contiguous id ranges, which would make some input partitions all
+    # trivial rows (empty/unreadable) and others all heavy decodes — a
+    # straggler-tail at any core count. Deterministic, content-preserving.
     spark_images_df(
         spark, n, partitions=partitions, img_size=img_size, fmts=fmts
-    ).write.mode("overwrite").parquet(path)
+    ).repartition(partitions, "image_id").write.mode("overwrite").parquet(path)
     spark.stop()
     return path
 
