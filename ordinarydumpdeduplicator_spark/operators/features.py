@@ -12,10 +12,15 @@ reads each Arrow batch of rows once and emits a *compact* feature row
   excluded by the ``size >= 0`` guard (DataControllerSimple.cs:263-275).
   Empty payloads keep ``size=0`` + the canonical empty-content sha, so all
   empties form one REAL duplicate group (Common/BlobInfo.cs:44-51).
-- ``phash_v``: perceptual hash recomputed from decoded pixels (verifies the
-  input ``phash`` column); NULL when undecodable.
+- ``phash_v``: DCT perceptual hash recomputed from decoded pixels
+  (verifies the input ``phash`` column); NULL when undecodable.
+- ``dhash_v``: row-gradient difference hash — the standard pHash
+  complement (edge structure vs low-frequency energy).
+- ``gray_mean``/``gray_std``: cheap pixel statistics from the same decode.
 - ``minhash``: caption shingle MinHash signature (array<long>, NULL when
   the caption has no shingles).
+- ``bands``: LSH band keys derived from the signature IN the same numpy
+  pass (operators/lsh.py explodes them directly — no JVM slice hashing).
 - ``caption_sha``: sha256 of the normalized caption — exact-caption
   pre-grouping key that removes identical-caption skew *before* LSH.
 - ``simhash``: 64-bit SimHash over caption tokens (secondary text feature).
