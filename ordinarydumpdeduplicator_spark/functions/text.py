@@ -132,3 +132,27 @@ def data_size_col(col):
         F.lit(" "),
         unit,
     )
+
+
+def relative_path(root: str, path: str) -> str | None:
+    """F5: path relative to root, or None when path is outside root
+    (reference FileSystemHelper.GetRelativePath + its '..' containment
+    test, OrdinaryDumpDeduplicator/FileSystemHelper.cs:19-68 — replaced by
+    a deterministic prefix check, no Uri round-trip)."""
+    root_n = root.rstrip("/")
+    if path == root_n:
+        return ""
+    if path.startswith(root_n + "/"):
+        return path[len(root_n) + 1 :]
+    return None
+
+
+def timespan_string(seconds: float) -> str:
+    """F8: HH:MM:SS.ff wall-clock formatting (reference
+    OrdinaryDumpDeduplicatorDesktop.Logic.cs:275-284) for metrics output."""
+    if seconds < 0:
+        raise ValueError("negative timespan")
+    h = int(seconds // 3600)
+    m = int(seconds % 3600 // 60)
+    s = seconds % 60
+    return f"{h:02d}:{m:02d}:{s:05.2f}"

@@ -89,3 +89,20 @@ def test_data_size_col(spark):
     )
     got = [r[0] for r in df.select(data_size_col(F.col("n"))).collect()]
     assert got == ["0 bytes", "1023 bytes", "1.0 KiB", "1.5 KiB", "1.0 MiB"]
+
+
+def test_relative_path():
+    from ordinarydumpdeduplicator_spark.functions.text import relative_path
+
+    assert relative_path("corpus/src0", "corpus/src0/a/b") == "a/b"
+    assert relative_path("corpus/src0", "corpus/src0") == ""
+    assert relative_path("corpus/src0", "corpus/src1/a") is None
+    assert relative_path("corpus/src0", "corpus/src00/a") is None  # no prefix trap
+
+
+def test_timespan_string():
+    from ordinarydumpdeduplicator_spark.functions.text import timespan_string
+
+    assert timespan_string(0) == "00:00:00.00"
+    assert timespan_string(3725.5) == "01:02:05.50"
+    assert timespan_string(59.999) == "00:00:60.00"  # display rounding only

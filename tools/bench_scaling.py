@@ -73,20 +73,31 @@ def materialize_corpus(
 
 
 def run_at(
-    cores: int, corpus: str, zip_path: str, out_dir: str, shuffle_partitions: int = 128
+    cores: int,
+    corpus: str,
+    zip_path: str,
+    out_dir: str,
+    shuffle_partitions: int = 128,
+    master: str | None = None,
+    executor_mem: str = "8192",
 ) -> dict:
     """One cold spark-submit run. shuffle_partitions is sized to the DATA
     (identical at every cluster size — you don't retune it per cluster):
     the LSH band explode is ~27x the input rows, so 128 partitions keeps
     per-reducer state bounded at the bench scales; AQE coalesces the many
-    small stages back down at runtime."""
+    small stages back down at runtime.
+
+    master: explicit master string (e.g. 'local-cluster[4,2,8192]' for a
+    true multi-executor run with separate executor JVMs and netty
+    shuffle); default local[cores]."""
     out_json = os.path.join(out_dir, f"scaling_{cores}.json")
     env = dict(os.environ)
     env.pop("PYSPARK_DRIVER_PYTHON", None)
     env["PYSPARK_PYTHON"] = sys.executable
     cmd = [
         "spark-submit",
-        "--master", f"local[{cores}]",
+        "--master", master or f"local[{cores}]",
+        "--conf", f"spark.executor.memory={executor_mem}m",
         "--conf", f"spark.sql.shuffle.partitions={shuffle_partitions}",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
@@ -227,6 +238,12 @@ def main() -> None:
     )
     ap.add_argument("--img-w", type=int, default=256)
     ap.add_argument("--img-h", type=int, default=192)
+    ap.add_argument(
+        "--local-cluster", nargs="+", default=None, metavar="NxC",
+        help="run true multi-executor local-cluster mode instead of "
+             "local[n]: e.g. --local-cluster 1x2 4x2 runs N and 4N "
+             "executors of C cores each (separate executor JVMs)",
+    )
     args = ap.parse_args()
 
     os.makedirs(args.data_dir, exist_ok=True)
@@ -237,13 +254,30 @@ def main() -> None:
     # stale-corpus housekeeping is the operator's job; corpora are keyed by
     # (n, dims, fmts) so differently-shaped runs never collide
 
-    results = [
-        min(
-            (run_at(c, corpus, zip_path, args.data_dir) for _ in range(args.repeats)),
-            key=lambda r: r["wall_sec"],
-        )
-        for c in sorted(args.cores)
-    ]
+    if args.local_cluster:
+        specs = []
+        for spec in args.local_cluster:
+            n_exec, n_cores = (int(x) for x in spec.lower().split("x"))
+            specs.append((n_exec * n_cores, f"local-cluster[{n_exec},{n_cores},8192]"))
+        specs.sort()
+        results = [
+            min(
+                (
+                    run_at(total, corpus, zip_path, args.data_dir, master=master)
+                    for _ in range(args.repeats)
+                ),
+                key=lambda r: r["wall_sec"],
+            )
+            for total, master in specs
+        ]
+    else:
+        results = [
+            min(
+                (run_at(c, corpus, zip_path, args.data_dir) for _ in range(args.repeats)),
+                key=lambda r: r["wall_sec"],
+            )
+            for c in sorted(args.cores)
+        ]
     summary = write_report(
         results, args.n, os.path.join(REPO, "BENCH", "BASELINE.md")
     )
