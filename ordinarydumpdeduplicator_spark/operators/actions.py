@@ -92,7 +92,13 @@ def apply_actions(
       - delete:  a row with status='removed'
     plus, for isolate, a 'removed' row at the old location. Returns ONLY the
     new rows; callers append them to the states table (Iceberg MERGE at
-    scale)."""
+    scale).
+
+    Run ordering: the per-image latest (size, sha) is selected by max_by
+    over ``run_id``, so run ids MUST be lexicographically monotone in run
+    order — the engine's generators are (zero-padded ``inspection_%09d``
+    from streaming/inspection.py); callers minting their own run ids must
+    keep that property or pre-filter states to the latest run."""
     latest = states.join(
         actions.select("image_id").distinct(), "image_id", "left_semi"
     ).groupBy("image_id").agg(

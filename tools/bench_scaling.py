@@ -117,7 +117,7 @@ def run_at(
         os.path.join(REPO, "tools", "scaling_job.py"),
         corpus, out_json,
     ]
-    print(f"[scaling] spark-submit local[{cores}] ...", flush=True)
+    print(f"[scaling] spark-submit {master or f'local[{cores}]'} ...", flush=True)
     subprocess.run(cmd, check=True, env=env, cwd=out_dir,
                    stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT)
     with open(out_json) as f:
@@ -128,7 +128,7 @@ def run_at(
     return result
 
 
-def write_report(results: list[dict], n: int, path: str) -> dict:
+def write_report(results: list[dict], n: int, path: str, repeats: int = 2) -> dict:
     pairs = []
     for lo in results:
         for hi in results:
@@ -167,7 +167,9 @@ def write_report(results: list[dict], n: int, path: str) -> dict:
         "masters below are `local-cluster[E,C,mem]`, each run has E SEPARATE",
         "executor JVM processes of C cores (own Python worker pools, netty",
         "shuffle between processes) — N executors vs 4N executors literally.",
-        "Best of 2 cold runs per level.",
+        f"Best of {repeats} cold runs per level (complete run records only;",
+        "wall, throughput and the per-stage table always come from the SAME",
+        "run).",
         "",
         "| master | cores | wall (s) | images/sec | clusters rows |",
         "|---|---|---|---|---|",
@@ -204,32 +206,19 @@ def write_report(results: list[dict], n: int, path: str) -> dict:
         lines.append("| " + " | ".join(row) + " |")
     lines += [
         "",
-        "## Why this pair (and not 8 -> 32 cores on one box)",
+        "## Why small executors (and not 8 -> 32 cores on one box)",
         "",
         "All cluster sizes run the identical `spark-submit --py-files` job",
         "on the identical corpus. Larger single-box configurations were",
-        "also measured (local[8] -> local[32]: 1767.7 -> 1862.3 images/sec;",
-        "local-cluster[1,8] -> local-cluster[4,8]: 1781.9 -> 2779.4) and",
-        "degrade for reasons that are artifacts of co-locating every",
-        "\"executor\" on one machine — they do not add memory bandwidth or",
-        "kernel instances the way adding real executors does:",
-        "",
-        "- a pure-CPU scaling probe (32 processes × sha256+matmul) sustains",
-        "  ~0.90 efficiency at 32 cores — the hardware scales; the Spark",
-        "  job's 8→32 degradation is workload-specific contention;",
-        "- `vmstat` during 32-thread runs shows system time spiking to",
-        "  50-85%: page-fault/TLB-shootdown storms from 32 decode workers",
-        "  plus JVM shuffle IO in one kernel (mitigated ~2x by the",
-        "  `functions/malloc_tuning.py` mmap-threshold fix, not eliminated);",
-        "- per-core Python decode throughput drops ~40% from 8 to 32",
-        "  resident workers (memory-bandwidth bound on one box).",
-        "",
-        "On a real cluster those resources scale WITH executors, which is",
-        "exactly what the 2→8 pair emulates (both levels far below the",
-        "machine's bandwidth/kernel saturation point). The dataflow itself is",
-        "partition-parallel end-to-end: the per-stage table above shows the",
-        "feature stage (the O(n) bulk of a real corpus run) scaling at",
-        "~0.85-0.95 between the uncontended levels.",
+        "also measured and their SCALING EFFICIENCY collapses (throughput",
+        "still rises, but far short of 4x) for reasons that are artifacts",
+        "of co-locating every \"executor\" on one machine — adding threads",
+        "to one box does not add memory bandwidth or kernel instances the",
+        "way adding real executors does. The dated measurements behind that",
+        "statement (core sweeps, pure-CPU scaling probe, vmstat system-time",
+        "traces, per-worker decode throughput) are recorded in",
+        "`BENCH/colocation-observations.md` — they are historical evidence",
+        "from this machine, not regenerated by this tool.",
         "",
         "Raw JSON:",
         "",
