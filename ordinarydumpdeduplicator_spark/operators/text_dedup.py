@@ -13,7 +13,7 @@ All outputs alias columns explicitly so oracle SQL can match them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.minhash import band_keys_udf
@@ -28,16 +28,26 @@ def normalized_text(col) -> F.Column:
 
 def exact_text_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per document with its content group stats (O1 without the
-    HAVING filter so singleton groups are still visible/testable)."""
-    w = Window.partitionBy("content_sha")
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.sha2(normalized_text(F.col(text_col)), 256).alias("content_sha"),
-        )
-        .withColumn("cluster_id", F.min("doc_id").over(w))
-        .withColumn("n_members", F.count(F.lit(1)).over(w))
-        .withColumn("is_dup", F.col("n_members") > 1)
+    HAVING filter so singleton groups are still visible/testable).
+
+    Hash-aggregate group stats + equi-join back instead of a window: the
+    window would SORT every row by the 64-char sha after the exchange;
+    the aggregate gets map-side partial combine and no sort (same rewrite
+    as operators/exact_dedup.exact_clusters)."""
+    rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(normalized_text(F.col(text_col)), 256).alias("content_sha"),
+    )
+    groups = rows.groupBy("content_sha").agg(
+        F.min("doc_id").alias("cluster_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return rows.join(groups, "content_sha").select(
+        "doc_id",
+        "content_sha",
+        "cluster_id",
+        "n_members",
+        (F.col("n_members") > 1).alias("is_dup"),
     )
 
 

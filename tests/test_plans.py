@@ -50,9 +50,16 @@ def test_small_dim_broadcast(spark, queries):
     assert "BroadcastHashJoin" in plan
 
 
-def test_exact_groups_single_exchange(spark, queries):
+def test_exact_groups_no_sort(spark, queries):
+    """The content-key grouping must be hash-aggregate + join — no Sort
+    node on the 64-char sha key (the window formulation would sort every
+    row after the exchange)."""
     plan = plan_of(queries["exact_text_groups"](spark, SF))
-    assert plan.count("Exchange") <= 2  # one hash exchange (+AQE read)
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    for line in plan.splitlines():
+        if "Sort " in line and "content_sha" in line:
+            raise AssertionError(f"sort on content key crept back: {line}")
 
 
 def test_bytes_never_shuffled(spark, tiny_images):
