@@ -64,7 +64,10 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, checkpoint: bool = True
+    edges: DataFrame,
+    max_iter: int = 50,
+    checkpoint: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> assignments(image_id, cluster_id).
 
@@ -78,7 +81,10 @@ def connected_components(
     (measured 2x wall going 8 -> 32 partitions on 65k edges). At 10^12
     scale the first rounds shrink the frame by orders of magnitude, so
     sizing by measured count per round is exactly what a cluster run wants
-    too. The global conf is restored on exit."""
+    too. The global conf is restored on exit.
+
+    ``stats`` (optional dict) receives convergence telemetry:
+    rounds, input edge count, final edge count."""
     e = _canon(edges)
     if checkpoint:
         e = e.localCheckpoint(eager=False)
@@ -89,8 +95,10 @@ def connected_components(
         loop_p = int(max(4, min(n_edges // 200_000 + 1, int(old_sp))))
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_p))
     prev_sig = None
+    rounds = 0
     try:
         for _ in range(max_iter):
+            rounds += 1
             # ONE distinct per round: small-star re-canonicalizes directions
             # itself (greatest/least), so the large-star output can flow in
             # raw — duplicate rows only fatten one shuffle and are removed
@@ -121,6 +129,10 @@ def connected_components(
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    if stats is not None:
+        stats.update(
+            rounds=rounds, n_input_edges=n_edges, n_star_edges=prev_sig[0]
+        )
     # converged star forest in canonical (u=min, v=max) form: u is the root
     members = e.select(F.col("v").alias("image_id"), F.col("u").alias("cluster_id"))
     roots = e.select(F.col("u").alias("image_id"), F.col("u").alias("cluster_id")).distinct()

@@ -149,9 +149,16 @@ class NearDupPipeline:
         return self._stage("edges", build)
 
     def components(self, edges: DataFrame) -> DataFrame:
-        return self._stage(
-            "cc", lambda: connected_components(edges.select("src", "dst"))
+        cc_stats: dict = {}
+        out = self._stage(
+            "cc",
+            lambda: connected_components(
+                edges.select("src", "dst"), stats=cc_stats
+            ),
         )
+        if cc_stats:  # convergence telemetry onto the stage metrics row
+            self.cfg.metrics[-1].update(cc_stats)
+        return out
 
     def clusters(self, features: DataFrame, assignments: DataFrame) -> DataFrame:
         """Final per-image cluster assignment. Singleton readable images get
