@@ -68,6 +68,14 @@ def _area_mean_resample(g: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return s / area
 
 
+def _pack_bits_msb(bits: np.ndarray) -> int:
+    """64 bool bits (MSB first) -> signed int64, vectorized packbits."""
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
 def phash64(pixels: np.ndarray) -> int:
     """64-bit perceptual hash as a signed int64 (Spark LongType friendly)."""
     g = _to_gray32(pixels)
@@ -78,13 +86,7 @@ def phash64(pixels: np.ndarray) -> int:
     med = np.median(coeffs)
     bits = np.zeros(64, dtype=bool)
     bits[1:] = coeffs > med
-    v = 0
-    for b in bits:
-        v = (v << 1) | int(b)
-    # wrap to signed int64
-    if v >= 1 << 63:
-        v -= 1 << 64
-    return v
+    return _pack_bits_msb(bits)
 
 
 def hamming64(a: int, b: int) -> int:
@@ -103,9 +105,4 @@ def dhash64(pixels: np.ndarray) -> int:
     ).astype(np.float64)
     small = _area_mean_resample(g, 8, 9)
     bits = (small[:, 1:] > small[:, :-1]).flatten()
-    v = 0
-    for b in bits:
-        v = (v << 1) | int(b)
-    if v >= 1 << 63:
-        v -= 1 << 64
-    return v
+    return _pack_bits_msb(bits)

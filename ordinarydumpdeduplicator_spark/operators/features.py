@@ -79,6 +79,49 @@ def simhash64(toks: list[str]) -> int:
     return v
 
 
+# token -> ±1 bit-vector cache, shared across Arrow batches within a worker
+# (vocabulary is zipfian: the hot tokens hash once per worker lifetime)
+_SIMHASH_TOKEN_CACHE: dict[str, np.ndarray] = {}
+
+
+def _token_vec(t: str) -> np.ndarray:
+    v = _SIMHASH_TOKEN_CACHE.get(t)
+    if v is None:
+        h = int.from_bytes(
+            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
+        )
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        v = bits.astype(np.int8) * 2 - 1
+        if len(_SIMHASH_TOKEN_CACHE) < 1_000_000:  # bound worker memory
+            _SIMHASH_TOKEN_CACHE[t] = v
+    return v
+
+
+def simhash64_batch(token_lists: list[list[str]]) -> list[int]:
+    """Vectorized batch SimHash, bit-identical to ``simhash64`` per row:
+    one ±1 matrix over the batch's tokens, per-row sums via reduceat,
+    sign bits packed with packbits — no per-token numpy dispatch."""
+    rows = [ts for ts in token_lists if ts]
+    if not rows:
+        return [0] * len(token_lists)
+    mat = np.concatenate([[_token_vec(t) for t in ts] for ts in rows]).reshape(
+        -1, 64
+    )
+    lengths = np.array([len(ts) for ts in rows], dtype=np.int64)
+    offsets = np.zeros(len(rows), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    acc = np.add.reduceat(mat.astype(np.int64), offsets, axis=0)
+    packed = np.packbits(acc > 0, axis=1, bitorder="little")
+    vals = packed.view("<u8").ravel().astype(np.int64)
+    out, j = [], 0
+    for ts in token_lists:
+        if ts:
+            out.append(int(vals[j])); j += 1
+        else:
+            out.append(0)
+    return out
+
+
 def simhash_text_udf():
     """pandas UDF: text -> 64-bit token SimHash (None for empty text)."""
     from pyspark.sql import functions as F
@@ -144,8 +187,9 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     out["caption_sha"] = norm.map(
         lambda c: hashlib.sha256(c.encode("utf-8")).hexdigest() if c else None
     )
+    sim_vals = simhash64_batch([c.split() if c else [] for c in norm])
     out["simhash"] = pd.array(
-        [simhash64(c.split()) if c else None for c in norm], dtype="Int64"
+        [v if c else None for v, c in zip(sim_vals, norm)], dtype="Int64"
     )
     out["minhash"], out["bands"] = minhash_signature_batch(caps, with_bands=True)
     return pd.DataFrame(out)
