@@ -91,3 +91,34 @@ def test_resume_skips_completed_stages(spark, tiny_images, tmp_path):
     statuses2 = {m["stage"]: m["status"] for m in cfg2.metrics}
     assert set(statuses2.values()) == {"resumed"}
     assert second["clusters"].count() == n_clusters
+
+
+def test_empty_input(spark):
+    from ordinarydumpdeduplicator_spark.plans.pipeline import (
+        NearDupPipeline,
+        PipelineConfig,
+    )
+    from ordinarydumpdeduplicator_spark.schemas import IMAGES_SCHEMA
+
+    empty = spark.createDataFrame([], IMAGES_SCHEMA)
+    res = NearDupPipeline(spark, PipelineConfig()).run(empty)
+    assert res["clusters"].count() == 0
+
+
+def test_all_unreadable_input(spark):
+    from ordinarydumpdeduplicator_spark.plans.pipeline import (
+        NearDupPipeline,
+        PipelineConfig,
+    )
+    from ordinarydumpdeduplicator_spark.schemas import IMAGES_SCHEMA
+
+    rows = [
+        (f"g{i}", b"garbage-not-an-image", 8, 8, "png", "some caption", 0)
+        for i in range(10)
+    ]
+    images = spark.createDataFrame(rows, IMAGES_SCHEMA)
+    res = NearDupPipeline(spark, PipelineConfig()).run(images)
+    # unreadable rows carry the Broken sentinel and never enter grouping
+    assert res["clusters"].count() == 0
+    feats = res["features"]
+    assert feats.filter("status = 'unreadable'").count() == 10
