@@ -473,7 +473,8 @@ def oracle_sql() -> dict[str, str]:
                    max(n_chars) * count(*) AS all_bytes,
                    max(n_chars) * greatest(
                      sum(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END) - 1, 0) AS dup_bytes,
-                   max(n_chars) * greatest(count(*) - 1, 0) AS all_dup_bytes
+                   max(n_chars) * greatest(count(*) - 1, 0) AS all_dup_bytes,
+                   sum(n_chars) - max(n_chars) AS reclaimable_bytes
             FROM documents GROUP BY lang
         """,
         "isolation_plan": """

@@ -79,25 +79,6 @@ def token_count_col(col: str | Column) -> Column:
     return F.size(tokens_col(col))
 
 
-def quality_score_cols(col: str | Column) -> dict[str, Column]:
-    """Heuristic quality features (training-data pipeline style), all
-    built-in functions so they stay inside whole-stage codegen."""
-    c = F.col(col) if isinstance(col, str) else col
-    toks = tokens_col(c)
-    n_chars = F.length(c)
-    n_tokens = F.size(toks)
-    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
-    return {
-        "n_chars": n_chars.cast("long"),
-        "n_tokens": n_tokens.cast("long"),
-        "n_punct": n_punct.cast("long"),
-        "avg_token_len": F.when(n_tokens > 0, (
-            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-            / n_tokens
-        )).otherwise(F.lit(0.0)).cast("double"),
-    }
-
-
 _SIZE_UNITS = ["bytes", "KiB", "MiB", "GiB", "TiB", "PiB"]
 
 

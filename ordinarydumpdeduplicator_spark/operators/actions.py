@@ -123,7 +123,11 @@ def apply_actions(
         "sha",
         F.lit("removed").alias("status"),
         F.col("from_location").alias("location"),
-        F.lit(ORIGINAL).alias("sort"),
+        # isolate targets are originals by construction (plan_isolation);
+        # delete targets are isolated by the P6 guard (plan_delete)
+        F.when(F.col("action") == "isolate", F.lit(ORIGINAL))
+        .otherwise(F.lit(ISOLATED))
+        .alias("sort"),
     )
     return removed_rows.unionByName(new_rows)
 

@@ -161,13 +161,18 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             out["size"][i] = 0
             out["sha"][i] = EMPTY_SHA256
             continue
+        # content identity comes from the BYTES, before any decode attempt
+        # — the reference hashes whatever it can read (Common/FsUtils.cs:
+        # 39-54); its Broken sentinel means an I/O failure, not a decode
+        # failure. Byte-identical corrupt files are therefore REAL exact
+        # duplicates here; only pixel features are NULL for them.
+        out["size"][i] = len(b)
+        out["sha"][i] = hashlib.sha256(b).hexdigest()
         try:
             pixels = codecs.decode(b)
         except ValueError:
-            out["status"][i] = "unreadable"  # Broken sentinel: size stays -1
+            out["status"][i] = "undecodable"  # pixel features unavailable
             continue
-        out["size"][i] = len(b)
-        out["sha"][i] = hashlib.sha256(b).hexdigest()
         out["h_actual"][i], out["w_actual"][i] = pixels.shape[0], pixels.shape[1]
         out["phash_v"][i] = phash64(pixels)
         out["dhash_v"][i] = dhash64(pixels)

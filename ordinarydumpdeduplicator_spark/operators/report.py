@@ -37,7 +37,14 @@ def cluster_flags(members: DataFrame) -> DataFrame:
     """members(cluster_id, image_id, size, sort) -> one row per cluster with
     the O8 truth-table flags and O7 size metrics.
 
-    `sort` is original|isolated per member (DuplicateSort.cs:5-11)."""
+    `sort` is original|isolated per member (DuplicateSort.cs:5-11).
+
+    Size-metric semantics: ``all_bytes``/``dup_bytes``/``all_dup_bytes``
+    use the reference's max(size)*count formulas, which assume all members
+    share one content (SameContentFilesInfo.cs:34-68) — exact-duplicate
+    clusters. For NEAR-dup clusters with heterogeneous member sizes use
+    ``reclaimable_bytes`` = sum(size) - max(size): bytes freed by keeping
+    the single largest member."""
     orig = F.sum(F.when(F.col("sort") == ORIGINAL, 1).otherwise(0))
     isol = F.sum(F.when(F.col("sort") == ISOLATED, 1).otherwise(0))
     return members.groupBy("cluster_id").agg(
@@ -54,6 +61,7 @@ def cluster_flags(members: DataFrame) -> DataFrame:
         (
             F.max("size") * F.greatest(F.count(F.lit(1)) - 1, F.lit(0))
         ).alias("all_dup_bytes"),
+        (F.sum("size") - F.max("size")).alias("reclaimable_bytes"),
     )
 
 

@@ -102,8 +102,14 @@ def brute_force_topk(
                 mask_self = corpus_ids == qids[i]
                 s = np.where(mask_self, -np.inf, s)
                 top = np.argpartition(-s, min(k, s.size - 1))[: k + 1]
-                # stable order: cosine desc, neighbor id asc
-                top = sorted(top, key=lambda j: (-s[j], corpus_ids[j]))[:k]
+                # stable order: cosine desc, neighbor id asc; the -inf
+                # filter drops self rows so a corpus with n <= k never
+                # emits the query as its own neighbor
+                top = [
+                    j
+                    for j in sorted(top, key=lambda j: (-s[j], corpus_ids[j]))
+                    if np.isfinite(s[j])
+                ][:k]
                 for rank, j in enumerate(top, 1):
                     recs.append(
                         (qids[i], corpus_ids[j], rank, float(s[j]))
@@ -135,6 +141,10 @@ def sign_sketch(
     batch to (n, dim) and multiplying by the seeded (dim, n_planes) plane
     matrix is ~100x faster than per-element JVM array-aggregate expressions
     and is the exact "vectorized Arrow UDF" pattern the input_hint mandates."""
+    if n_planes > 53:
+        # bit packing goes through a float64 dot product with 2^j weights;
+        # above 53 bits the mantissa cannot represent the sum exactly
+        raise ValueError("sign_sketch supports at most 53 planes")
     planes = _hyperplanes(dim, n_planes)
     weights = (2.0 ** np.arange(n_planes)).astype(np.float64)
 
@@ -249,6 +259,25 @@ def ivf_topk(
     )
 
 
+DEFAULT_SKETCH_BUCKET_CAP = 1024
+
+
+def _cap_buckets(banded: DataFrame, bucket_cap: int) -> DataFrame:
+    """Drop degenerate sketch buckets (> bucket_cap members): identical or
+    zero embeddings all landing in one (band, key) would make the
+    candidate self-join quadratic; an over-full bucket carries almost no
+    neighbor information, so skipping it bounds the join (same reasoning
+    as operators/lsh.pairs_from_buckets star-capping, simplified for the
+    top-k use where star edges have no meaning)."""
+    stats = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= bucket_cap)
+        .select("band", "key")
+    )
+    return banded.join(stats, ["band", "key"])
+
+
 def lsh_topk(
     embeddings: DataFrame,
     dim: int,
@@ -257,6 +286,7 @@ def lsh_topk(
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int = DEFAULT_SKETCH_BUCKET_CAP,
 ) -> DataFrame:
     """Approximate top-k: candidates share >= 1 of `bands` sketch bands
     (n_planes/bands bits each), then exact cosine on candidates only."""
@@ -276,8 +306,11 @@ def lsh_topk(
             for j in range(bands)
         ]
     )
-    banded = sk.select("vec_id", "vec", F.explode(entries).alias("e")).select(
-        "vec_id", "vec", F.col("e.band").alias("band"), F.col("e.key").alias("key")
+    banded = _cap_buckets(
+        sk.select("vec_id", "vec", F.explode(entries).alias("e")).select(
+            "vec_id", "vec", F.col("e.band").alias("band"), F.col("e.key").alias("key")
+        ),
+        bucket_cap,
     )
     a = banded.alias("a")
     b = banded.select(
@@ -335,6 +368,7 @@ def embedding_near_pairs_lsh(
     bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int = DEFAULT_SKETCH_BUCKET_CAP,
 ) -> DataFrame:
     """Scale path for embedding near-dup pairs: hyperplane-sketch band
     buckets generate candidates, exact cosine verifies. bands=8 (4 bits
@@ -356,8 +390,11 @@ def embedding_near_pairs_lsh(
             for j in range(bands)
         ]
     )
-    banded = sk.select("vec_id", "vec", F.explode(entries).alias("e")).select(
-        "vec_id", "vec", F.col("e.band").alias("band"), F.col("e.key").alias("key")
+    banded = _cap_buckets(
+        sk.select("vec_id", "vec", F.explode(entries).alias("e")).select(
+            "vec_id", "vec", F.col("e.band").alias("band"), F.col("e.key").alias("key")
+        ),
+        bucket_cap,
     )
     a = banded.alias("a")
     b = banded.select(

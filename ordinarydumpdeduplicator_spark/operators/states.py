@@ -85,42 +85,60 @@ def derive_status(states: DataFrame, runs: DataFrame) -> DataFrame:
 
 
 def detect_moved(states: DataFrame, runs: DataFrame) -> DataFrame:
-    """O17 semantics: an image whose content key appears at a NEW location
-    in the latest run while a previous-run row with the same key at the old
-    location is gone/removed -> (image_id, size, sha, from_location,
-    to_location).
+    """O17 semantics -> (image_id, size, sha, from_location, to_location),
+    from the two signals a move leaves in the state history:
 
-    Content-key equi-join between the latest run's live rows and the
-    previous runs' rows — shuffle on (size, sha), skew-safe because content
-    keys are near-unique."""
+    1. intra-id: the SAME image's location changed between consecutive
+       states with unchanged content (lag window — the previousState chain,
+       Common/FileState.cs:67-70).
+    2. cross-id: the content key appears LIVE under a new image id while
+       another image's LATEST state with the same key is ``removed`` at the
+       old location (content-key equi-join; skew-safe, near-unique keys).
+
+    Content that still lives at its old location — an ordinary duplicate
+    copy — is NOT reported as moved: the reference only marks the old
+    state Removed on an actual move (DuplicatesProcessor.cs:157-170)."""
+    prev = with_previous_state(states, runs)
+    intra = (
+        prev.filter(
+            F.col("prev_location").isNotNull()
+            & (F.col("location") != F.col("prev_location"))
+            & (F.col("size") == F.col("prev_size"))
+            & (F.col("sha") == F.col("prev_sha"))
+            & ~F.col("status").isin("removed", "error", "unreadable")
+        )
+        .select(
+            "image_id", "size", "sha",
+            F.col("prev_location").alias("from_location"),
+            F.col("location").alias("to_location"),
+        )
+    )
     run_order = runs.select("run_id", "start_ts")
     st = states.join(F.broadcast(run_order), "run_id")
     w = Window.partitionBy("image_id").orderBy(
         F.col("start_ts").desc(), F.col("run_id").desc()
     )
-    cur = (
-        st.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & ~F.col("status").isin("removed", "error", "unreadable"))
-        .select("image_id", "size", "sha", "location", "start_ts")
-    )
-    prior = st.select(
+    latest = st.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    cur = latest.filter(
+        ~F.col("status").isin("removed", "error", "unreadable")
+    ).select("image_id", "size", "sha", "location", "start_ts")
+    gone = latest.filter(F.col("status") == "removed").select(
         F.col("size").alias("p_size"),
         F.col("sha").alias("p_sha"),
         F.col("location").alias("from_location"),
         F.col("start_ts").alias("p_ts"),
-        F.col("status").alias("p_status"),
     )
-    return (
+    cross = (
         cur.join(
-            prior,
+            gone,
             (F.col("size") == F.col("p_size"))
             & (F.col("sha") == F.col("p_sha"))
             & (F.col("location") != F.col("from_location"))
-            & (F.col("p_ts") < F.col("start_ts")),
+            & (F.col("p_ts") <= F.col("start_ts")),
         )
         .select(
             "image_id", "size", "sha", "from_location",
             F.col("location").alias("to_location"),
         )
-        .distinct()
     )
+    return intra.unionByName(cross).distinct()

@@ -54,7 +54,9 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def lang_id_heuristic(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-count language ID: score each language by marker-token hits
-    within the token set; predict the argmax (ties -> 'und' = undetermined).
+    within the token set; predict the argmax. 'und' (undetermined) only
+    when NO marker hits at all; score ties break alphabetically — the
+    deterministic rule the DuckDB oracle mirrors.
 
     Pure conditional aggregation over the token array — the same
     conditional-count shape as the reference's flag derivation O8

@@ -154,15 +154,21 @@ def simhash_near_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    hamming_threshold: int = 6,
+    hamming_threshold: int = 3,
     bucket_cap: int = 256,
 ) -> DataFrame:
     """SimHash near-duplicate pairs over document text.
 
-    64-bit token SimHash (vectorized Arrow UDF) -> 4x16-bit block bands
-    (pigeonhole: any pair with Hamming <= 3 shares a block; the verify
-    filter then applies the full threshold) -> candidate pairs -> exact
-    Hamming via JVM bit_count. Output: (doc_id_a, doc_id_b, hamming)."""
+    64-bit token SimHash (vectorized Arrow UDF) -> 4x16-bit block bands ->
+    candidate pairs -> exact Hamming via JVM bit_count. Output:
+    (doc_id_a, doc_id_b, hamming).
+
+    Recall guarantee: by pigeonhole, any pair within Hamming <= 3 shares
+    at least one block and WILL be a candidate — hence the default
+    threshold of 3. Larger thresholds are accepted but best-effort: a pair
+    at distance 4-6 whose differing bits straddle all four blocks is never
+    banded together (use more/overlapping blocks or multi-probe if
+    guaranteed recall beyond 3 is needed)."""
     from .features import simhash_text_udf
 
     simhash_udf = simhash_text_udf()

@@ -62,16 +62,23 @@ def test_empty_payloads_form_one_group(spark, tiny_corpus, tiny_images):
     assert {r.sha for r in rows} == {EMPTY_SHA256}
 
 
-def test_unreadable_rows_excluded(spark, tiny_corpus, tiny_images):
+def test_undecodable_rows_hash_but_carry_no_pixel_features(
+    spark, tiny_corpus, tiny_images
+):
+    """Content identity comes from the BYTES (the reference hashes without
+    decoding, Common/FsUtils.cs:39-54): undecodable payloads still join
+    exact grouping; only pixel features are NULL. The Broken sentinel
+    (size=-1, no sha) is reserved for missing payloads (I/O failure)."""
     pdf, _ = tiny_corpus
     unread = set(pdf[pdf._class == "unreadable"].image_id)
     feats = extract_features(tiny_images).cache()
-    # flagged with the Broken sentinel (size=-1, no sha)
-    flagged = feats.filter(F.col("status") == "unreadable")
+    flagged = feats.filter(F.col("status") == "undecodable")
     assert {r.image_id for r in flagged.collect()} == unread
-    assert flagged.filter((F.col("size") >= 0) | F.col("sha").isNotNull()).count() == 0
-    # and absent from grouping input
-    assert readable(feats).filter(F.col("image_id").isin(unread)).count() == 0
+    # hashable: size/sha present, so they BELONG to grouping input
+    assert flagged.filter((F.col("size") < 0) | F.col("sha").isNull()).count() == 0
+    assert readable(feats).filter(F.col("image_id").isin(unread)).count() == len(unread)
+    # but no pixel features
+    assert flagged.filter(F.col("phash_v").isNotNull()).count() == 0
 
 
 def test_exact_edges_are_star_per_group(spark, tiny_images):

@@ -57,11 +57,12 @@ def test_no_false_merges_of_uniques(small_corpus, pipeline_result):
     assert merged == [], f"uniques merged: {merged[:5]}"
 
 
-def test_all_readable_images_assigned(small_corpus, pipeline_result):
+def test_all_hashable_images_assigned(small_corpus, pipeline_result):
+    # every row with BYTES gets a cluster assignment (undecodable payloads
+    # hash and group; only missing payloads are excluded)
     pdf, _ = small_corpus
-    n_unreadable = (pdf._class == "unreadable").sum()
     n_null = pdf.bytes.isna().sum()
-    expect = len(pdf) - n_unreadable - n_null
+    expect = len(pdf) - n_null
     assert pipeline_result["clusters"].count() == expect
 
 
@@ -105,7 +106,7 @@ def test_empty_input(spark):
     assert res["clusters"].count() == 0
 
 
-def test_all_unreadable_input(spark):
+def test_undecodable_and_missing_payloads(spark):
     from ordinarydumpdeduplicator_spark.plans.pipeline import (
         NearDupPipeline,
         PipelineConfig,
@@ -113,12 +114,16 @@ def test_all_unreadable_input(spark):
     from ordinarydumpdeduplicator_spark.schemas import IMAGES_SCHEMA
 
     rows = [
-        (f"g{i}", b"garbage-not-an-image", 8, 8, "png", "some caption", 0)
+        (f"g{i}", f"garbage-not-an-image-{i}".encode(), 8, 8, "png", None, 0)
         for i in range(10)
-    ]
+    ] + [(f"n{i}", None, 8, 8, "png", None, 0) for i in range(3)]
     images = spark.createDataFrame(rows, IMAGES_SCHEMA)
     res = NearDupPipeline(spark, PipelineConfig()).run(images)
-    # unreadable rows carry the Broken sentinel and never enter grouping
-    assert res["clusters"].count() == 0
     feats = res["features"]
-    assert feats.filter("status = 'unreadable'").count() == 10
+    # distinct undecodable payloads hash to singletons; NULL payloads get
+    # the Broken sentinel and are excluded entirely
+    assert feats.filter("status = 'undecodable'").count() == 10
+    assert feats.filter("status = 'error'").count() == 3
+    cl = res["clusters"]
+    assert cl.count() == 10
+    assert cl.filter("is_dup").count() == 0

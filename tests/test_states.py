@@ -101,3 +101,24 @@ def test_removed_not_marked_moved_to_self(spark, two_run):
     runs, states = two_run
     ids = {r.image_id for r in detect_moved(states, runs).collect()}
     assert "i3" not in ids
+
+def test_copy_with_live_original_is_not_moved(spark):
+    """A duplicate COPY whose original stays live must not be reported as
+    moved (the reference marks old states Removed only on actual moves)."""
+    runs = spark.createDataFrame(
+        [
+            ("rA", "src", datetime(2026, 1, 1), datetime(2026, 1, 1, 1)),
+            ("rB", "src", datetime(2026, 2, 1), datetime(2026, 2, 1, 1)),
+        ],
+        schema=RUNS_DDL,
+    )
+    states = spark.createDataFrame(
+        [
+            # same content at two locations, both alive in the latest run
+            ("c1", "rA", 10, "hx", "new", "loc/a", "original"),
+            ("c1", "rB", 10, "hx", "unchanged", "loc/a", "original"),
+            ("c2", "rB", 10, "hx", "new", "loc/b", "original"),
+        ],
+        schema=STATES_DDL,
+    )
+    assert detect_moved(states, runs).count() == 0

@@ -95,10 +95,10 @@ def test_stream_inspections_cdc(spark, tiny_corpus, stream_dirs):
         .withColumnRenamed("count", "n").collect()
     }
     run_ids = sorted({r["run_id"] for r in runs.collect()})
-    ok_rows = 50 - int((pdf.iloc[:50]["_class"] == "unreadable").sum())
+    # all 50 rows carry content identity (undecodable payloads hash too);
     # first sighting -> new; identical re-ingest -> unchanged
-    assert by_status.get((run_ids[0], "new"), 0) == ok_rows
-    assert by_status.get((run_ids[1], "unchanged"), 0) == ok_rows
+    assert by_status.get((run_ids[0], "new"), 0) == 50
+    assert by_status.get((run_ids[1], "unchanged"), 0) == 50
 
 
 def test_ingest_metrics_windows(spark, tiny_corpus):
