@@ -389,7 +389,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT sha256({_NORM}) AS content_sha,
                    min(doc_id) AS cluster_id,
                    count(*) AS n_members,
-                   sum(length(text)) AS all_chars
+                   sum(length(text))::BIGINT AS all_chars
             FROM documents
             GROUP BY 1 HAVING count(*) > 1
         """,
@@ -461,20 +461,23 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "cluster_flags_by_lang": """
+            -- integer sum() in DuckDB is HUGEINT (int128); cast every
+            -- sum-derived column to BIGINT so the driver's value hash sees
+            -- the same representation Spark emits (bigint)
             SELECT lang AS cluster_id,
                    count(*) AS n_members,
                    max(n_chars) AS member_size,
-                   sum(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END) AS n_original,
-                   sum(CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END) AS n_isolated,
+                   sum(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END)::BIGINT AS n_original,
+                   sum(CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END)::BIGINT AS n_isolated,
                    sum(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END) > 0 AS has_original,
                    sum(CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END) > 0 AS has_isolated,
                    sum(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END) > 1 AS has_unprocessed,
                    count(*) = 1 AS is_unique,
-                   max(n_chars) * count(*) AS all_bytes,
-                   max(n_chars) * greatest(
-                     sum(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END) - 1, 0) AS dup_bytes,
-                   max(n_chars) * greatest(count(*) - 1, 0) AS all_dup_bytes,
-                   sum(n_chars) - max(n_chars) AS reclaimable_bytes
+                   (max(n_chars) * count(*))::BIGINT AS all_bytes,
+                   (max(n_chars) * greatest(
+                     sum(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END) - 1, 0))::BIGINT AS dup_bytes,
+                   (max(n_chars) * greatest(count(*) - 1, 0))::BIGINT AS all_dup_bytes,
+                   (sum(n_chars) - max(n_chars))::BIGINT AS reclaimable_bytes
             FROM documents GROUP BY lang
         """,
         "isolation_plan": """
@@ -508,7 +511,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT cluster_id, doc_id, size, location FROM members)
             SELECT ancestor, count(*) AS n_dup_files,
                    count(DISTINCT cluster_id) AS n_clusters,
-                   sum(size) AS dup_bytes
+                   sum(size)::BIGINT AS dup_bytes
             FROM exploded GROUP BY ancestor
         """,
         "token_stats": f"""
@@ -516,7 +519,7 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars,
                    len({_TOKS}) AS n_tokens,
                    len(list_distinct({_TOKS})) AS n_distinct_tokens,
-                   coalesce(list_sum(list_transform({_TOKS}, x -> length(x))), 0)
+                   coalesce(list_sum(list_transform({_TOKS}, x -> length(x))), 0)::BIGINT
                      AS total_token_len
             FROM documents
         """,
@@ -555,7 +558,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_distribution": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+            SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
                    count(DISTINCT source) AS n_sources
             FROM documents GROUP BY lang
         """,

@@ -8,15 +8,13 @@ Reproduces ``DataControllerSimple.GetDuplicates``
     -> group by content key (size, sha)     (O1, :252-285)
     -> HAVING count > 1                     (O2, :288-301)
 
-expressed as a single window over the content key — ONE shuffle, no
-collect_list of members (the reference builds `BlobInfo -> set<File>`
-dictionaries; at 10^12 rows a per-group member list would OOM, so the
-cluster id IS the min member id and membership stays row-wise).
-
-Plan notes (verified via .explain): the filter is pushed below the window
-exchange; the window sort is on (size, sha, image_id) after a hash
-exchange on (size, sha) — no second shuffle for the HAVING because
-count(*) over the same partition reuses the exchange.
+expressed as a hash-aggregate over the content key plus an equi-join back
+to the rows — no collect_list of members (the reference builds
+`BlobInfo -> set<File>` dictionaries; at 10^12 rows a per-group member
+list would OOM, so the cluster id IS the min member id and membership
+stays row-wise) and NO sort: a window formulation would sort every row by
+the 64-char sha after the exchange, while the aggregate gets map-side
+partial combine. tests/test_plans.py pins the no-sort plan shape.
 """
 
 from __future__ import annotations

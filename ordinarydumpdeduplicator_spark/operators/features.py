@@ -123,14 +123,19 @@ def simhash64_batch(token_lists: list[list[str]]) -> list[int]:
 
 
 def simhash_text_udf():
-    """pandas UDF: text -> 64-bit token SimHash (None for empty text)."""
+    """pandas UDF: text -> 64-bit token SimHash (None for empty text).
+
+    Runs the vectorized ``simhash64_batch`` (one ±1 matrix + reduceat per
+    Arrow batch, bit-identical to the scalar ``simhash64`` — pinned by
+    tests/test_new_dedup_modalities.py) instead of a per-row loop."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     @F.pandas_udf(T.LongType())
     def _udf(texts: pd.Series) -> pd.Series:
+        vals = simhash64_batch([tokens(t) if t else [] for t in texts])
         return pd.Series(
-            [simhash64(tokens(t)) if t else None for t in texts],
+            [v if t else None for v, t in zip(vals, texts)],
             index=texts.index,
             dtype="Int64",
         )

@@ -56,70 +56,89 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    q_blocks: int = 4,
+    c_shards: int = 4,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per vector (excluding self).
+    """Exact top-k cosine neighbors per vector (excluding self), fully
+    distributed — a blocked block-nested-loop over (query block x corpus
+    shard) tiles, no driver-side collect anywhere:
 
-    Scale shape: the reference corpus is broadcast as ONE dense float64
-    matrix (ids + vectors) to every task; each Arrow batch of query vectors
-    does a single (batch x dim) @ (dim x n) matmul and a vectorized
-    argpartition top-k — no quadratic pair materialization, no per-pair
-    array allocation. For corpora too big to broadcast, shard the corpus
-    matrix and union per-shard top-k (same code per shard)."""
-    rows = embeddings.select(id_col, vec_col).collect()
-    ids = [r[0] for r in rows]
-    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
-    spark = embeddings.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(matn)
+    - every vector gets a deterministic query block ``qb = h(id) % Q`` and
+      corpus shard ``cs = h(id) % S``;
+    - the query side replicates each row S times (one per corpus shard),
+      the corpus side Q times, and a cogroup on (qb, cs) hands each tile
+      both sub-frames: one (|Q_b| x dim) @ (dim x |C_s|) float64 matmul +
+      vectorized argpartition emits the tile-local top-k per query;
+    - a ranking window over the unioned tile results keeps the global
+      top-k (exact: every true global neighbor wins its own tile).
 
+    Scale shape: executor memory per task is one tile (n/Q + n/S rows),
+    tuned by ``q_blocks``/``c_shards``; total compute is the same n^2 dot
+    products an exact answer requires, spread over Q*S independent tasks.
+    Shuffled bytes are vectors * (S + Q) replicas — at 10^12 scale use the
+    LSH/IVF paths; this operator is the exact baseline the oracle checks."""
     id_type = embeddings.schema[id_col].dataType
-    out_schema = T.StructType(
+    tile_schema = T.StructType(
         [
             T.StructField("vec_id", id_type, False),
             T.StructField("neighbor_id", id_type, False),
-            T.StructField("rank", T.IntegerType(), False),
             T.StructField("cosine", T.DoubleType(), False),
         ]
     )
 
-    def topk_batches(batches):
-        corpus_ids = np.asarray(b_ids.value)
-        corpus = b_mat.value
-        for pdf in batches:
-            q = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            qn = np.linalg.norm(q, axis=1)
-            qn[qn == 0] = 1.0
-            sims = (q / qn[:, None]) @ corpus.T  # (batch, n)
-            qids = pdf[id_col].to_numpy()
-            recs = []
-            for i in range(sims.shape[0]):
-                s = sims[i]
-                mask_self = corpus_ids == qids[i]
-                s = np.where(mask_self, -np.inf, s)
-                top = np.argpartition(-s, min(k, s.size - 1))[: k + 1]
-                # stable order: cosine desc, neighbor id asc; the -inf
-                # filter drops self rows so a corpus with n <= k never
-                # emits the query as its own neighbor
-                top = [
-                    j
-                    for j in sorted(top, key=lambda j: (-s[j], corpus_ids[j]))
-                    if np.isfinite(s[j])
-                ][:k]
-                for rank, j in enumerate(top, 1):
-                    recs.append(
-                        (qids[i], corpus_ids[j], rank, float(s[j]))
-                    )
-            yield pd.DataFrame(
-                recs, columns=["vec_id", "neighbor_id", "rank", "cosine"]
-            )
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    qside = base.select(
+        "vec_id",
+        "vec",
+        F.pmod(F.xxhash64("vec_id"), F.lit(q_blocks)).alias("qb"),
+        F.explode(F.sequence(F.lit(0), F.lit(c_shards - 1))).alias("cs"),
+    )
+    cside = base.select(
+        "vec_id",
+        "vec",
+        F.explode(F.sequence(F.lit(0), F.lit(q_blocks - 1))).alias("qb"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(c_shards)).alias("cs"),
+    )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        topk_batches, schema=out_schema
+    def tile_topk(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame(columns=["vec_id", "neighbor_id", "cosine"])
+        q = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["vec"]])
+        c = np.stack([np.asarray(v, dtype=np.float64) for v in cpdf["vec"]])
+        qn = np.linalg.norm(q, axis=1)
+        cn = np.linalg.norm(c, axis=1)
+        qn[qn == 0] = 1.0
+        cn[cn == 0] = 1.0
+        sims = (q / qn[:, None]) @ (c / cn[:, None]).T  # (|Qb|, |Cs|)
+        qids = qpdf["vec_id"].to_numpy()
+        cids = cpdf["vec_id"].to_numpy()
+        recs = []
+        for i in range(sims.shape[0]):
+            s = np.where(cids == qids[i], -np.inf, sims[i])  # exclude self
+            top = np.argpartition(-s, min(k, s.size - 1))[: k + 1]
+            top = [
+                j
+                for j in sorted(top, key=lambda j: (-s[j], cids[j]))
+                if np.isfinite(s[j])
+            ][:k]
+            for j in top:
+                recs.append((qids[i], cids[j], float(s[j])))
+        return pd.DataFrame(recs, columns=["vec_id", "neighbor_id", "cosine"])
+
+    tiles = (
+        qside.groupBy("qb", "cs")
+        .cogroup(cside.groupBy("qb", "cs"))
+        .applyInPandas(tile_topk, schema=tile_schema)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        tiles.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", "cosine")
     )
 
 
@@ -198,7 +217,17 @@ def ivf_topk(
     assignment and probe steps are single matmuls per batch. Recall is
     controlled by n_probe and degrades only when true neighbors straddle
     cell boundaries (random noise corpora are the worst case)."""
-    sample_rows = embeddings.select(vec_col).limit(sample_size).collect()
+    # pseudo-random training sample: order by a hash of the id and take the
+    # top-n (a distributed TakeOrdered — no full sort, no full scan to the
+    # driver). `.limit()` alone would take the FIRST partitions only, which
+    # on partition-correlated data collapses the centroids.
+    sample_rows = (
+        embeddings.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(sample_size)
+        .select("v")
+        .collect()
+    )
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
     sn = np.linalg.norm(sample, axis=1)
     sn[sn == 0] = 1.0

@@ -116,8 +116,15 @@ def token_jaccard_pairs(
     for candidate pairs blocked on an equality column (e.g. same lang) and
     close length. Integer outputs only (hash-stable vs the DuckDB oracle).
 
-    The blocking equi-join is the scalable shape: pairs are generated per
-    block, never corpus x corpus."""
+    The blocking key is COMPOSITE — (blk, length band) with the band width
+    sized to ``max_len_diff + 1`` so any qualifying pair differs by at most
+    one band: side b explodes into (band-1, band, band+1) and the equi-join
+    key carries the length constraint. Per-key pair volume is then bounded
+    by the per-(blk, band) population, not per-blk — on a 5-language corpus
+    the bare-lang key is ~corpus/5 per block and quadratic at scale. The
+    exploded values are distinct, so each ordered pair matches exactly once
+    and the result set is identical to the bare-blk join."""
+    band_w = max_len_diff + 1
     toks = F.array_distinct(
         F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
     )
@@ -127,16 +134,19 @@ def token_jaccard_pairs(
         F.length(F.col(text_col)).alias("len"),
         toks.alias("toks"),
     )
+    band = F.floor(F.col("len") / band_w).cast("long")
     a = base.select(
         F.col("doc_id").alias("doc_id_a"), F.col("blk"),
         F.col("len").alias("len_a"), F.col("toks").alias("toks_a"),
+        band.alias("band"),
     )
     b = base.select(
         F.col("doc_id").alias("doc_id_b"), F.col("blk"),
         F.col("len").alias("len_b"), F.col("toks").alias("toks_b"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
     )
     return (
-        a.join(b, "blk")
+        a.join(b, ["blk", "band"])
         .where(
             (F.col("doc_id_a") < F.col("doc_id_b"))
             & (F.abs(F.col("len_a") - F.col("len_b")) <= max_len_diff)
