@@ -49,7 +49,19 @@ def salted_join(
     small, join on (keys + salt), drop the salt.
 
     ``stable_col`` defaults to the first join key — pass a high-cardinality
-    column (e.g. the row id) so a hot key's rows actually spread."""
+    column (e.g. the row id) so a hot key's rows actually spread.
+
+    Only join types whose unmatched-row semantics survive small-side
+    replication are allowed: for right/full outer joins every unmatched
+    replicated small-side row would be emitted ``n_salts`` times, silently
+    producing wrong results — those raise."""
+    allowed = {"inner", "cross", "left", "leftouter", "leftsemi", "leftanti"}
+    if how.lower().replace("_", "") not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: replicating the "
+            "small side duplicates its unmatched rows under right/full "
+            "outer semantics (use inner/left/left_semi/left_anti)"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     stable = stable_col or keys[0]
     b = with_salt(big, n_salts, stable)

@@ -84,31 +84,41 @@ _SIZE_UNITS = ["bytes", "KiB", "MiB", "GiB", "TiB", "PiB"]
 
 def data_size_string(n_bytes: int) -> str:
     """Human size formatting — log-1024 bucketing to bytes..PiB, rounded
-    (F7; reference Common/Helper.cs:7-45 GetDataSizeString)."""
+    (F7; reference Common/Helper.cs:7-45 GetDataSizeString).
+
+    The unit check happens AFTER rounding, so a value just under a
+    boundary (1023.99 KiB) renders as '1 MiB', never the invalid
+    '1024.0 KiB'."""
     if n_bytes < 0:
         raise ValueError("negative size")
     size = float(n_bytes)
     for unit in _SIZE_UNITS:
-        if size < 1024 or unit == _SIZE_UNITS[-1]:
+        shown = int(size) if unit == "bytes" else round(size, 1)
+        if unit == _SIZE_UNITS[-1] or shown < 1024:
             if unit == "bytes":
-                return f"{int(size)} {unit}"
-            return f"{round(size, 1):g} {unit}"
+                return f"{shown} {unit}"
+            return f"{shown:g} {unit}"
         size /= 1024.0
 
 
 def data_size_col(col):
-    """Column version for report output (presentation only)."""
+    """Column version for report output (presentation only). Kept aligned
+    with ``data_size_string``: same post-rounding unit bump at the 1024
+    boundary, same trailing-'.0' trimming ('1 KiB', not '1.0 KiB')."""
     from pyspark.sql import functions as F
 
     c = col.cast("double")
     log_idx = F.when(c <= 0, F.lit(0)).otherwise(
         F.least(F.floor(F.log(1024.0, c)).cast("int"), F.lit(5))
     )
-    unit = F.element_at(F.array(*[F.lit(u) for u in _SIZE_UNITS]), log_idx + 1)
-    scaled = c / F.pow(F.lit(1024.0), log_idx.cast("double"))
+    scaled0 = c / F.pow(F.lit(1024.0), log_idx.cast("double"))
+    bump = (F.round(scaled0, 1) >= 1024) & (log_idx < 5)
+    idx = log_idx + bump.cast("int")
+    unit = F.element_at(F.array(*[F.lit(u) for u in _SIZE_UNITS]), idx + 1)
+    scaled = c / F.pow(F.lit(1024.0), idx.cast("double"))
     return F.concat(
-        F.when(log_idx == 0, F.floor(scaled).cast("string")).otherwise(
-            F.round(scaled, 1).cast("string")
+        F.when(idx == 0, F.floor(scaled).cast("long").cast("string")).otherwise(
+            F.regexp_replace(F.round(scaled, 1).cast("string"), r"\.0$", "")
         ),
         F.lit(" "),
         unit,
@@ -130,10 +140,13 @@ def relative_path(root: str, path: str) -> str | None:
 
 def timespan_string(seconds: float) -> str:
     """F8: HH:MM:SS.ff wall-clock formatting (reference
-    OrdinaryDumpDeduplicatorDesktop.Logic.cs:275-284) for metrics output."""
+    OrdinaryDumpDeduplicatorDesktop.Logic.cs:275-284) for metrics output.
+
+    Rounds to centiseconds FIRST and carries into minutes/hours, so
+    59.999 renders '00:01:00.00', never the invalid '00:00:60.00'."""
     if seconds < 0:
         raise ValueError("negative timespan")
-    h = int(seconds // 3600)
-    m = int(seconds % 3600 // 60)
-    s = seconds % 60
-    return f"{h:02d}:{m:02d}:{s:05.2f}"
+    total_cs = round(seconds * 100)
+    h, rem = divmod(total_cs, 360000)
+    m, cs = divmod(rem, 6000)
+    return f"{h:02d}:{m:02d}:{cs // 100:02d}.{cs % 100:02d}"

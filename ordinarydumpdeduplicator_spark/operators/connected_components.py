@@ -24,20 +24,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _canon(edges: DataFrame) -> DataFrame:
-    """Canonical undirected form: (u=min, v=max), deduped, no self-loops."""
-    return (
-        edges.select(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+def _canon(edges: DataFrame, n_part: int | None = None) -> DataFrame:
+    """Canonical undirected form: (u=min, v=max), deduped, no self-loops.
+
+    With ``n_part``, the dedup runs on an explicit hash repartition by
+    (u, v) — the distinct reuses that partitioning (no second exchange)
+    and the loop's partition count never touches session-global conf."""
+    out = edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    if n_part is not None:
+        out = out.repartition(n_part, "u", "v")
+    return out.distinct()
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, n_part: int | None = None) -> DataFrame:
     """For each node u: attach strictly-larger neighbors to m = min(N(u) ∪ u)."""
     sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if n_part is not None:
+        # one explicit exchange on u, REUSED by both the aggregate and the
+        # join below (identical exchange subtree -> ReusedExchange)
+        sym = sym.repartition(n_part, "u")
     m = (
         sym.groupBy("u")
         .agg(F.least(F.min("v"), F.first("u")).alias("m"))
@@ -49,12 +56,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, n_part: int | None = None) -> DataFrame:
     """For each node u (over edges directed larger->smaller): attach all
     smaller-or-equal neighbors and u itself to m = min(N(u) ∪ u)."""
     directed = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
+    if n_part is not None:
+        directed = directed.repartition(n_part, "u")
     m = directed.groupBy("u").agg(F.min("v").alias("m"))
     joined = directed.join(m, "u")
     out = joined.select(F.col("v").alias("src"), F.col("m").alias("dst")).union(
@@ -74,14 +83,15 @@ def connected_components(
     cluster_id = min image_id of the component. Nodes appearing in no edge
     are absent (callers union isolated nodes back if needed).
 
-    The loop runs under a shuffle-partition count sized to the edge volume
-    (~200k rows per partition, floor 4): each round is several tiny
-    shuffles, and inheriting a large global shuffle.partitions makes the
-    fixpoint iteration pure task-scheduling overhead on small edge sets
-    (measured 2x wall going 8 -> 32 partitions on 65k edges). At 10^12
-    scale the first rounds shrink the frame by orders of magnitude, so
-    sizing by measured count per round is exactly what a cluster run wants
-    too. The global conf is restored on exit.
+    The loop's shuffles run at a partition count sized to the edge volume
+    (~200k rows per partition, floor 4) via EXPLICIT per-plan
+    ``repartition`` on the join/group keys — hash partitioning on the key
+    satisfies the downstream clustering, so each star step costs one
+    reused exchange. A large inherited shuffle-partition count makes the
+    fixpoint pure task-scheduling overhead on small edge sets (measured
+    2x wall going 8 -> 32 partitions on 65k edges); session-global conf is
+    never touched, so concurrent jobs in the same session (the pipeline's
+    candidate-family thread pool) are unaffected.
 
     ``stats`` (optional dict) receives convergence telemetry:
     rounds, input edge count, final edge count."""
@@ -90,45 +100,42 @@ def connected_components(
         e = e.localCheckpoint(eager=False)
     spark = edges.sparkSession
     n_edges = e.count() if checkpoint else None  # also materializes the cut
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_p = None
     if n_edges is not None:
-        loop_p = int(max(4, min(n_edges // 200_000 + 1, int(old_sp))))
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_p))
+        cap = max(4, spark.sparkContext.defaultParallelism)
+        loop_p = int(max(4, min(n_edges // 200_000 + 1, cap)))
     prev_sig = None
     rounds = 0
-    try:
-        for _ in range(max_iter):
-            rounds += 1
-            # ONE distinct per round: small-star re-canonicalizes directions
-            # itself (greatest/least), so the large-star output can flow in
-            # raw — duplicate rows only fatten one shuffle and are removed
-            # by the round-final _canon. Saves an exchange per round; round
-            # latency, not edge volume, dominates the fixpoint wall.
-            e = _canon(_small_star(_large_star(e).select(
-                F.col("src").alias("u"), F.col("dst").alias("v")
-            )))
-            if checkpoint:
-                # lazy: the signature aggregation below is the ONE action
-                # per round — it materializes the checkpoint as a side
-                # effect (two jobs per round measured ~40% of fixpoint wall)
-                e = e.localCheckpoint(eager=False)
-            # fixpoint: the edge set is stable — order-insensitive signature
-            # via count + bit_xor of row hashes (xor is overflow-free under
-            # ANSI mode and collision-safe here: edges are distinct rows)
-            sig = e.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-            ).collect()[0]
-            cur_sig = (sig["n"], sig["h"])
-            if cur_sig == prev_sig:
-                break
-            prev_sig = cur_sig
-        else:
-            raise RuntimeError(
-                f"connected_components: no fixpoint in {max_iter} rounds"
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    for _ in range(max_iter):
+        rounds += 1
+        # ONE distinct per round: small-star re-canonicalizes directions
+        # itself (greatest/least), so the large-star output can flow in
+        # raw — duplicate rows only fatten one shuffle and are removed
+        # by the round-final _canon. Saves an exchange per round; round
+        # latency, not edge volume, dominates the fixpoint wall.
+        e = _canon(_small_star(_large_star(e, loop_p).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        ), loop_p), loop_p)
+        if checkpoint:
+            # lazy: the signature aggregation below is the ONE action
+            # per round — it materializes the checkpoint as a side
+            # effect (two jobs per round measured ~40% of fixpoint wall)
+            e = e.localCheckpoint(eager=False)
+        # fixpoint: the edge set is stable — order-insensitive signature
+        # via count + bit_xor of row hashes (xor is overflow-free under
+        # ANSI mode and collision-safe here: edges are distinct rows)
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        cur_sig = (sig["n"], sig["h"])
+        if cur_sig == prev_sig:
+            break
+        prev_sig = cur_sig
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iter} rounds"
+        )
     if stats is not None:
         stats.update(
             rounds=rounds, n_input_edges=n_edges, n_star_edges=prev_sig[0]

@@ -25,6 +25,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _liveness_rank() -> F.Column:
+    """Deterministic tie-break for two states of the SAME (image, run):
+    apply_actions emits a 'removed' row at the old location AND the live
+    successor at the new one for an isolate commit. Within a run the
+    removed row is the predecessor (rank 0), the live row the successor
+    (rank 1) — without this, window ties on (start_ts, run_id) resolve
+    nondeterministically and an isolated image could be derived 'removed'."""
+    return F.when(F.col("status") == "removed", 0).otherwise(1)
+
+
 def latest_runs(runs: DataFrame) -> DataFrame:
     """O5: arg-max start_ts per source_id (GetLastInspections,
     DataControllerSimple.cs:190-208). run_id breaks timestamp ties."""
@@ -50,7 +60,9 @@ def with_previous_state(states: DataFrame, runs: DataFrame) -> DataFrame:
     lag() over the per-image run history — the previousState pointer chain
     (Common/FileState.cs:67-70) as a window."""
     run_order = runs.select("run_id", "start_ts")
-    w = Window.partitionBy("image_id").orderBy("start_ts", "run_id")
+    w = Window.partitionBy("image_id").orderBy(
+        "start_ts", "run_id", _liveness_rank()
+    )
     return (
         states.join(F.broadcast(run_order), "run_id")
         .withColumn("prev_size", F.lag("size").over(w))
@@ -116,7 +128,7 @@ def detect_moved(states: DataFrame, runs: DataFrame) -> DataFrame:
     run_order = runs.select("run_id", "start_ts")
     st = states.join(F.broadcast(run_order), "run_id")
     w = Window.partitionBy("image_id").orderBy(
-        F.col("start_ts").desc(), F.col("run_id").desc()
+        F.col("start_ts").desc(), F.col("run_id").desc(), _liveness_rank().desc()
     )
     latest = st.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     cur = latest.filter(

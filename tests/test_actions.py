@@ -102,3 +102,72 @@ def test_maintain_matches_full_recompute(spark, members):
     assert fa["A"]["n_original"] == 1 and fa["A"]["n_isolated"] == 3
     assert not fa["A"]["has_unprocessed"]
     assert fa["C"]["n_members"] == 1  # c2 deleted
+
+
+def test_post_isolate_state_derivation_is_deterministic(spark, members):
+    """An isolate commit appends TWO rows for the same (image, run): a
+    'removed' row at the old location and the live successor at the new
+    one. The state windows tie-break removed-before-live, so the image
+    must ALWAYS derive live (not 'removed') and be reported as moved —
+    regardless of Spark's within-tie row order."""
+    from datetime import datetime
+
+    from pyspark.sql import Window
+
+    from ordinarydumpdeduplicator_spark.operators.states import (
+        derive_status,
+        detect_moved,
+    )
+
+    states0 = members.select(
+        "image_id",
+        F.lit("run_0").alias("run_id"),
+        "size",
+        F.sha2(F.col("cluster_id"), 256).alias("sha"),
+        F.lit("new").alias("status"),
+        "location",
+        "sort",
+    )
+    actions = plan_isolation(members)
+    new_rows = apply_actions(states0, actions, "run_1")
+    states = states0.unionByName(new_rows)
+    runs = spark.createDataFrame(
+        [
+            ("run_0", "src", datetime(2026, 1, 1), datetime(2026, 1, 1, 1)),
+            ("run_1", "src", datetime(2026, 2, 1), datetime(2026, 2, 1, 1)),
+        ],
+        "run_id string, source_id string, start_ts timestamp, finish_ts timestamp",
+    )
+
+    # repeat to catch nondeterministic tie resolution across executions
+    for _ in range(3):
+        derived = derive_status(states, runs)
+        final = {
+            r["image_id"]: r["derived_status"]
+            for r in derived.filter(F.col("run_id") == "run_1")
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("image_id").orderBy(
+                        F.when(F.col("status") == "removed", 0).otherwise(1).desc()
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .collect()
+        }
+        # the LIVE successor rows (status != removed) derive unchanged
+        assert final["a2"] == "unchanged"
+        assert final["a3"] == "unchanged"
+
+        moved = {
+            (r["image_id"], r["from_location"], r["to_location"])
+            for r in detect_moved(states, runs).collect()
+        }
+        assert ("a2", "src/x", "isolated duplicates/src/x") in moved
+        assert ("a3", "src/y", "isolated duplicates/src/y") in moved
+        # no image may surface as removed-at-latest: the live row wins ties
+        latest_live = (
+            detect_moved(states, runs).select("image_id").distinct().count()
+        )
+        assert latest_live >= 2

@@ -51,3 +51,20 @@ def test_salted_count_matches_groupby(spark):
         for r in df.groupBy("key").count().collect()
     }
     assert a == b
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    import pytest as _pytest
+
+    from ordinarydumpdeduplicator_spark.functions.salting import salted_join
+
+    big = spark.createDataFrame([("k1", 1)], "k string, v int")
+    small = spark.createDataFrame([("k1", 9), ("k2", 8)], "k string, w int")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "k", n_salts=4, how=how)
+    # left_anti remains valid and correct: unmatched big rows survive once
+    got = salted_join(
+        big, small.filter("k = 'k2'"), "k", n_salts=4, how="left_anti"
+    ).collect()
+    assert [(r["k"], r["v"]) for r in got] == [("k1", 1)]

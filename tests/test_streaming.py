@@ -101,6 +101,41 @@ def test_stream_inspections_cdc(spark, tiny_corpus, stream_dirs):
     assert by_status.get((run_ids[1], "unchanged"), 0) == 50
 
 
+def test_stream_ingest_metrics_emits_rows(spark, tiny_corpus, stream_dirs):
+    """The foreachBatch wiring must emit metrics under a single
+    availableNow micro-batch (a watermarked append-mode aggregation over a
+    processing-time stamp would emit zero rows here)."""
+    from ordinarydumpdeduplicator_spark.streaming.inspection import (
+        stream_ingest_metrics,
+    )
+
+    pdf, _ = tiny_corpus
+    _write_batch(spark, pdf.iloc[:80], stream_dirs["in"], "batch0")
+    q = stream_ingest_metrics(
+        spark, stream_dirs["in"] + "/*", stream_dirs["out"], stream_dirs["ckpt"]
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(stream_dirs["out"])
+    rows = got.collect()
+    assert sum(r["n_images"] for r in rows) == 80
+    fmts = {r["fmt"] for r in rows}
+    assert fmts == {r for r in pdf.iloc[:80]["fmt"].unique()}
+
+    # second landing appends more metrics exactly once per file
+    _write_batch(spark, pdf.iloc[80:100], stream_dirs["in"], "batch1")
+    q2 = stream_ingest_metrics(
+        spark, stream_dirs["in"] + "/*", stream_dirs["out"], stream_dirs["ckpt"]
+    )
+    q2.awaitTermination(120)
+    assert (
+        spark.read.parquet(stream_dirs["out"])
+        .agg({"n_images": "sum"})
+        .collect()[0][0]
+        == 100
+    )
+
+
 def test_ingest_metrics_windows(spark, tiny_corpus):
     import pandas as pd
     from pyspark.sql import functions as F

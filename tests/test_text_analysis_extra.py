@@ -74,6 +74,7 @@ def test_bpe_token_stats(spark):
         (1048576, "1 MiB"),
         (5 * 1024**4, "5 TiB"),
         (3 * 1024**5, "3 PiB"),
+        (1048570, "1 MiB"),  # 1023.99 KiB: unit bump after rounding
     ],
 )
 def test_data_size_string(n, expected):
@@ -84,11 +85,12 @@ def test_data_size_col(spark):
     from pyspark.sql import functions as F
     from ordinarydumpdeduplicator_spark.functions.text import data_size_col
 
+    # aligned with data_size_string: same trailing-.0 trim, same unit bump
     df = spark.createDataFrame(
-        [(0,), (1023,), (1024,), (1536,), (1048576,)], "n long"
+        [(0,), (1023,), (1024,), (1536,), (1048576,), (1048570,)], "n long"
     )
     got = [r[0] for r in df.select(data_size_col(F.col("n"))).collect()]
-    assert got == ["0 bytes", "1023 bytes", "1.0 KiB", "1.5 KiB", "1.0 MiB"]
+    assert got == ["0 bytes", "1023 bytes", "1 KiB", "1.5 KiB", "1 MiB", "1 MiB"]
 
 
 def test_relative_path():
@@ -105,4 +107,6 @@ def test_timespan_string():
 
     assert timespan_string(0) == "00:00:00.00"
     assert timespan_string(3725.5) == "01:02:05.50"
-    assert timespan_string(59.999) == "00:00:60.00"  # display rounding only
+    assert timespan_string(59.999) == "00:01:00.00"  # carries into minutes
+    assert timespan_string(3599.999) == "01:00:00.00"  # carries into hours
+    assert timespan_string(59.99) == "00:00:59.99"
