@@ -312,13 +312,18 @@ def lsh_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 32,
-    bands: int = 4,
+    bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_cap: int = DEFAULT_SKETCH_BUCKET_CAP,
 ) -> DataFrame:
     """Approximate top-k: candidates share >= 1 of `bands` sketch bands
-    (n_planes/bands bits each), then exact cosine on candidates only."""
+    (n_planes/bands bits each), then exact cosine on candidates only.
+
+    bands=8 x 4 bits: measured recall@3 >= 0.95 vs brute force on a
+    clustered corpus (tests/test_ann_recall.py); bands=4 x 8 bits drops
+    to ~0.36 — banding coarseness buys candidate recall, and the bucket
+    caps keep the candidate join bounded when the coarse keys fill up."""
     assert n_planes % bands == 0
     bits_per = n_planes // bands
     mask = (1 << bits_per) - 1
