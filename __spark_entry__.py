@@ -128,8 +128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             embedding_near_pairs_lsh,
         )
 
+        # threshold 0.4 is the low-similarity regime: 16 x 4-bit bands
+        # (vs the 8 x 8-bit default tuned for >= 0.9 near-dup pairs)
         return embedding_near_pairs_lsh(
-            _tbl(spark, sf, "embeddings"), dim=64, threshold=0.4
+            _tbl(spark, sf, "embeddings"), dim=64, threshold=0.4, bands=16
         )
 
     # ----- windows / CDC (O5/O6/J6) -----
@@ -262,6 +264,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return location_rollup(members)
 
+    def q_entities_docs(spark, sf):
+        # hierarchy table (SURVEY §1.3 FsEntity/Directory mapping) derived
+        # from the documents corpus locations
+        from ordinarydumpdeduplicator_spark.operators.entities import (
+            entities_from_locations,
+        )
+
+        d = _docs(spark, sf).select(
+            F.concat(F.lit("corpus/"), "source", F.lit("/"), "lang").alias(
+                "location"
+            )
+        )
+        return entities_from_locations(d)
+
     # ----- text analysis -----
 
     def q_token_stats(spark, sf):
@@ -336,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_flags_by_lang": q_cluster_flags_by_lang,
         "isolation_plan": q_isolation_plan,
         "location_rollup_docs": q_location_rollup_docs,
+        "entities_docs": q_entities_docs,
         "token_stats": q_token_stats,
         "quality_features": q_quality_features,
         "lang_id": q_lang_id,
@@ -513,6 +530,26 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT cluster_id) AS n_clusters,
                    sum(size)::BIGINT AS dup_bytes
             FROM exploded GROUP BY ancestor
+        """,
+        "entities_docs": """
+            WITH locs AS (
+              SELECT DISTINCT 'corpus/' || source || '/' || lang AS location
+              FROM documents),
+            paths AS (
+              SELECT DISTINCT 'corpus' AS path FROM locs
+              UNION
+              SELECT DISTINCT 'corpus/' || split_part(location, '/', 2) FROM locs
+              UNION
+              SELECT DISTINCT location FROM locs)
+            SELECT path AS entity_id,
+                   split_part(path, '/', -1) AS name,
+                   CASE WHEN len(string_split(path, '/')) > 1
+                        THEN array_to_string(
+                          string_split(path, '/')[1:len(string_split(path, '/')) - 1],
+                          '/')
+                   END AS parent_id,
+                   path
+            FROM paths
         """,
         "token_stats": f"""
             SELECT doc_id,

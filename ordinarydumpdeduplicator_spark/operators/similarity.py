@@ -181,6 +181,55 @@ def sign_sketch(
     )
 
 
+def band_sketch(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int,
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, vec, keys array<long>) — per-BAND hyperplane sketch keys.
+
+    Unlike ``sign_sketch`` (one packed long, <= 53 planes), each band's
+    ``n_planes/bands`` sign bits pack into their own key, so total planes
+    are unbounded: 8 bands x 8 bits (64 planes) gives both high candidate
+    recall (8 chances to agree) AND fine bucket granularity (256 keys per
+    band — a 4-bit key yields corpus/16-sized buckets that blow past any
+    cap at scale). One matmul + one reshape-matmul per Arrow batch."""
+    assert n_planes % bands == 0
+    bits_per = n_planes // bands
+    if bits_per > 53:
+        raise ValueError("band_sketch: at most 53 bits per band")
+    planes = _hyperplanes(dim, n_planes)
+    weights = (2.0 ** np.arange(bits_per)).astype(np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def keys_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (n, dim)
+        bits = (mat @ planes.T) > 0  # (n, n_planes)
+        grouped = bits.reshape(len(mat), bands, bits_per).astype(np.float64)
+        vals = (grouped @ weights).astype(np.int64)  # (n, bands)
+        return pd.Series(list(vals), index=vecs.index)
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        keys_udf(F.col(vec_col)).alias("keys"),
+    )
+
+
+def _banded_rows(sk: DataFrame, bucket_cap: int) -> DataFrame:
+    """Explode per-band keys to (vec_id, vec, band, key) rows and drop
+    over-full buckets."""
+    return _cap_buckets(
+        sk.select(
+            "vec_id", "vec", F.posexplode("keys").alias("band", "key")
+        ),
+        bucket_cap,
+    )
+
+
 def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 8, seed: int = 7) -> np.ndarray:
     """Tiny seeded k-means on unit vectors (driver-side, sampled input)."""
     rng = np.random.default_rng(seed)
@@ -311,7 +360,7 @@ def lsh_topk(
     embeddings: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 32,
+    n_planes: int = 64,
     bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -320,30 +369,13 @@ def lsh_topk(
     """Approximate top-k: candidates share >= 1 of `bands` sketch bands
     (n_planes/bands bits each), then exact cosine on candidates only.
 
-    bands=8 x 4 bits: measured recall@3 >= 0.95 vs brute force on a
-    clustered corpus (tests/test_ann_recall.py); bands=4 x 8 bits drops
-    to ~0.36 — banding coarseness buys candidate recall, and the bucket
-    caps keep the candidate join bounded when the coarse keys fill up."""
-    assert n_planes % bands == 0
-    bits_per = n_planes // bands
-    mask = (1 << bits_per) - 1
-    sk = sign_sketch(embeddings, dim, n_planes, id_col, vec_col)
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.shiftright("sketch", j * bits_per)
-                .bitwiseAND(F.lit(mask))
-                .cast("long")
-                .alias("key"),
-            )
-            for j in range(bands)
-        ]
-    )
-    banded = _cap_buckets(
-        sk.select("vec_id", "vec", F.explode(entries).alias("e")).select(
-            "vec_id", "vec", F.col("e.band").alias("band"), F.col("e.key").alias("key")
-        ),
+    Default 8 bands x 8 bits (64 planes, band_sketch): 8 agreement
+    chances keep recall@3 >= 0.9 vs brute force on clustered corpora
+    (tests/test_ann_recall.py) while 256 keys per band keep buckets
+    ~corpus/256 — coarser 4-bit bands have the same recall but
+    corpus/16 buckets, whose candidate join blows up at 10^5+ rows."""
+    banded = _banded_rows(
+        band_sketch(embeddings, dim, n_planes, bands, id_col, vec_col),
         bucket_cap,
     )
     a = banded.alias("a")
@@ -398,36 +430,19 @@ def embedding_near_pairs_lsh(
     embeddings: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 32,
+    n_planes: int = 64,
     bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_cap: int = DEFAULT_SKETCH_BUCKET_CAP,
 ) -> DataFrame:
     """Scale path for embedding near-dup pairs: hyperplane-sketch band
-    buckets generate candidates, exact cosine verifies. bands=8 (4 bits
-    per band) keeps candidate recall high at >=0.95 cosine; the verify
-    filter kills false positives, mirroring the caption LSH+verify shape."""
-    assert n_planes % bands == 0
-    bits_per = n_planes // bands
-    mask = (1 << bits_per) - 1
-    sk = sign_sketch(embeddings, dim, n_planes, id_col, vec_col)
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.shiftright("sketch", j * bits_per)
-                .bitwiseAND(F.lit(mask))
-                .cast("long")
-                .alias("key"),
-            )
-            for j in range(bands)
-        ]
-    )
-    banded = _cap_buckets(
-        sk.select("vec_id", "vec", F.explode(entries).alias("e")).select(
-            "vec_id", "vec", F.col("e.band").alias("band"), F.col("e.key").alias("key")
-        ),
+    buckets generate candidates, exact cosine verifies (no false
+    positives by construction). 8 bands x 8 bits — same recall/bucket
+    rationale as lsh_topk; the verify filter mirrors the caption
+    LSH+verify shape."""
+    banded = _banded_rows(
+        band_sketch(embeddings, dim, n_planes, bands, id_col, vec_col),
         bucket_cap,
     )
     a = banded.alias("a")
