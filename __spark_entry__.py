@@ -264,6 +264,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return location_rollup(members)
 
+    def q_members_after_merge(spark, sf):
+        # the O17 commit as row-level MERGE: execute the same spec the
+        # Iceberg MERGE INTO SQL renders (sources/merge.py)
+        from ordinarydumpdeduplicator_spark.operators.actions import plan_isolation
+        from ordinarydumpdeduplicator_spark.sources.merge import (
+            execute_merge,
+            members_merge_spec,
+        )
+
+        d = _docs(spark, sf)
+        members = d.select(
+            F.col("lang").alias("cluster_id"),
+            F.col("doc_id").alias("image_id"),
+            F.col("n_chars").alias("size"),
+            F.when(
+                F.col("source").isin("src0", "src1", "src2"), F.lit("isolated")
+            ).otherwise(F.lit("original")).alias("sort"),
+            F.concat(F.lit("corpus/"), "source").alias("location"),
+        )
+        return execute_merge(
+            members, plan_isolation(members), members_merge_spec()
+        )
+
     def q_entities_docs(spark, sf):
         # hierarchy table (SURVEY §1.3 FsEntity/Directory mapping) derived
         # from the documents corpus locations
@@ -277,6 +300,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
         return entities_from_locations(d)
+
+    def q_directory_tree_docs(spark, sf):
+        # O10 tree assembly (DirectoryWithDuplicates as parent-pointer rows)
+        from ordinarydumpdeduplicator_spark.operators.report import (
+            directory_tree,
+        )
+
+        d = _docs(spark, sf)
+        members = d.select(
+            F.col("lang").alias("cluster_id"),
+            F.col("doc_id").alias("image_id"),
+            F.col("n_chars").alias("size"),
+            F.concat(F.lit("corpus/"), "source", F.lit("/"), "lang").alias(
+                "location"
+            ),
+        )
+        return directory_tree(members)
 
     # ----- text analysis -----
 
@@ -352,7 +392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_flags_by_lang": q_cluster_flags_by_lang,
         "isolation_plan": q_isolation_plan,
         "location_rollup_docs": q_location_rollup_docs,
+        "members_after_merge": q_members_after_merge,
         "entities_docs": q_entities_docs,
+        "directory_tree_docs": q_directory_tree_docs,
         "token_stats": q_token_stats,
         "quality_features": q_quality_features,
         "lang_id": q_lang_id,
@@ -531,6 +573,27 @@ def oracle_sql() -> dict[str, str]:
                    sum(size)::BIGINT AS dup_bytes
             FROM exploded GROUP BY ancestor
         """,
+        "members_after_merge": """
+            WITH members AS (
+              SELECT lang AS cluster_id, doc_id AS image_id, n_chars AS size,
+                     CASE WHEN source IN ('src0','src1','src2')
+                          THEN 'isolated' ELSE 'original' END AS sort,
+                     'corpus/' || source AS location
+              FROM documents),
+            orig AS (
+              SELECT cluster_id, image_id, location,
+                     min(image_id) OVER (PARTITION BY cluster_id) AS keeper,
+                     count(*) OVER (PARTITION BY cluster_id) AS n_orig
+              FROM members WHERE sort = 'original'),
+            acts AS (
+              SELECT image_id, 'isolated duplicates/' || location AS to_location
+              FROM orig WHERE n_orig > 1 AND image_id <> keeper)
+            SELECT m.cluster_id, m.image_id, m.size,
+                   CASE WHEN a.image_id IS NOT NULL THEN 'isolated'
+                        ELSE m.sort END AS sort,
+                   coalesce(a.to_location, m.location) AS location
+            FROM members m LEFT JOIN acts a USING (image_id)
+        """,
         "entities_docs": """
             WITH locs AS (
               SELECT DISTINCT 'corpus/' || source || '/' || lang AS location
@@ -550,6 +613,42 @@ def oracle_sql() -> dict[str, str]:
                    END AS parent_id,
                    path
             FROM paths
+        """,
+        "directory_tree_docs": """
+            WITH members AS (
+              SELECT lang AS cluster_id, doc_id, n_chars AS size,
+                     'corpus/' || source || '/' || lang AS location
+              FROM documents),
+            exploded AS (
+              SELECT cluster_id, doc_id, size, 'corpus' AS path FROM members
+              UNION ALL
+              SELECT cluster_id, doc_id, size,
+                     'corpus/' || split_part(location, '/', 2) FROM members
+              UNION ALL
+              SELECT cluster_id, doc_id, size, location FROM members),
+            roll AS (
+              SELECT path, count(*) AS n_dup_files,
+                     count(DISTINCT cluster_id) AS n_clusters,
+                     sum(size)::BIGINT AS dup_bytes
+              FROM exploded GROUP BY path)
+            SELECT path,
+                   split_part(path, '/', -1) AS name,
+                   CASE WHEN len(string_split(path, '/')) > 1
+                        THEN array_to_string(
+                          string_split(path, '/')[1:len(string_split(path, '/')) - 1],
+                          '/')
+                   END AS parent_id,
+                   len(string_split(path, '/'))::INTEGER AS depth,
+                   n_dup_files, n_clusters, dup_bytes,
+                   (row_number() OVER (
+                     PARTITION BY CASE WHEN len(string_split(path, '/')) > 1
+                        THEN array_to_string(
+                          string_split(path, '/')[1:len(string_split(path, '/')) - 1],
+                          '/')
+                     END
+                     ORDER BY dup_bytes DESC, split_part(path, '/', -1)
+                   ))::INTEGER AS sibling_rank
+            FROM roll
         """,
         "token_stats": f"""
             SELECT doc_id,

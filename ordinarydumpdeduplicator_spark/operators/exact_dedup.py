@@ -38,17 +38,19 @@ def exact_clusters(features: DataFrame, require_dupes: bool = True) -> DataFrame
 
     Plan shape: hash-aggregate group stats + equi-join back, instead of a
     window — a window would SORT every row by the 64-char sha string after
-    the exchange; the aggregate gets map-side partial combine and the join
-    ships the same skinny columns. Same one-exchange-per-side cost class,
-    no sort."""
-    rows = readable(features).select("image_id", "size", "sha")
+    the exchange. The explicit repartition on the content key feeds both
+    the aggregate and the join probe side from ONE exchange (scan + sha
+    run once); shuffle_hash keeps the join sort-free."""
+    rows = readable(features).select("image_id", "size", "sha").repartition(
+        "size", "sha"
+    )
     groups = rows.groupBy("size", "sha").agg(
         F.min("image_id").alias("cluster_id"),
         F.count(F.lit(1)).alias("n_members"),
     )
     if require_dupes:
         groups = groups.filter(F.col("n_members") > 1)
-    return rows.join(groups, ["size", "sha"]).select(
+    return rows.join(groups.hint("shuffle_hash"), ["size", "sha"]).select(
         "image_id", "size", "sha", "cluster_id", "n_members"
     )
 

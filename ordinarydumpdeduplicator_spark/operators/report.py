@@ -119,6 +119,43 @@ def location_rollup(members: DataFrame) -> DataFrame:
     )
 
 
+def directory_tree(members: DataFrame) -> DataFrame:
+    """O10 tree assembly: the recursive ``DirectoryWithDuplicates`` build
+    (DuplicateReport.cs:160-203 walks parents upward and nests children)
+    as ONE DataFrame — a row per directory node carrying its parent
+    pointer, depth, rolled-up duplicate stats, and the child's rank among
+    its siblings (dup_bytes descending, then name — the view ordering of
+    DuplicatesViewController.cs:32-59 applied per tree level). Consumers
+    rebuild the nested structure by following parent_id, or render
+    directly from (depth, sibling_rank) — no recursive driver walk.
+
+    members(cluster_id, image_id, size, location) -> tree rows
+    (path, name, parent_id, depth, n_dup_files, n_clusters, dup_bytes,
+    sibling_rank)."""
+    from pyspark.sql import Window
+
+    from .entities import entities_from_locations
+
+    ents = entities_from_locations(members)
+    roll = location_rollup(members)
+    w = Window.partitionBy("parent_id").orderBy(
+        F.col("dup_bytes").desc(), F.col("name")
+    )
+    return (
+        ents.join(roll, ents.path == roll.ancestor)
+        .select(
+            "path",
+            "name",
+            "parent_id",
+            F.size(F.split("path", "/")).alias("depth"),
+            "n_dup_files",
+            "n_clusters",
+            "dup_bytes",
+        )
+        .withColumn("sibling_rank", F.row_number().over(w))
+    )
+
+
 def totals(features: DataFrame) -> DataFrame:
     """O9/P5: corpus totals over count-eligible rows (excludes Error/
     Unreadable/size<=0 — OrdinaryDumpDeduplicator.cs:208-222).

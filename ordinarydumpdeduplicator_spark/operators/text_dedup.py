@@ -31,18 +31,22 @@ def exact_text_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     HAVING filter so singleton groups are still visible/testable).
 
     Hash-aggregate group stats + equi-join back instead of a window: the
-    window would SORT every row by the 64-char sha after the exchange;
-    the aggregate gets map-side partial combine and no sort (same rewrite
-    as operators/exact_dedup.exact_clusters)."""
+    window would SORT every row by the 64-char sha after the exchange.
+    The explicit repartition on the content key is shared by BOTH the
+    aggregate and the join probe side (identical exchange subtree ->
+    reused), so the scan + sha256 run once and exactly one shuffle of the
+    rows happens; the shuffle_hash hint keeps the join sort-free
+    (pinned by tests/test_plans.py). Same shape as
+    operators/exact_dedup.exact_clusters."""
     rows = docs.select(
         F.col(id_col).alias("doc_id"),
         F.sha2(normalized_text(F.col(text_col)), 256).alias("content_sha"),
-    )
+    ).repartition("content_sha")
     groups = rows.groupBy("content_sha").agg(
         F.min("doc_id").alias("cluster_id"),
         F.count(F.lit(1)).alias("n_members"),
     )
-    return rows.join(groups, "content_sha").select(
+    return rows.join(groups.hint("shuffle_hash"), "content_sha").select(
         "doc_id",
         "content_sha",
         "cluster_id",

@@ -91,3 +91,37 @@ def test_location_rollup(members):
     assert got["root/iso"].n_dup_files == 4
     assert got["root/iso"].n_clusters == 2
     assert got["root"].dup_bytes == 100 * 2 + 50 * 3 + 70 * 2 + 999
+
+
+def test_directory_tree_assembly(spark):
+    """Tree rows carry parent pointers, depth, rolled-up stats and the
+    per-level view ordering (dup_bytes desc, then name) — the DataFrame
+    form of the recursive DirectoryWithDuplicates build."""
+    from ordinarydumpdeduplicator_spark.operators.report import directory_tree
+
+    members = spark.createDataFrame(
+        [
+            ("A", "a1", 100, "corpus/big/x"),
+            ("A", "a2", 100, "corpus/big/x"),
+            ("B", "b1", 10, "corpus/small"),
+            ("C", "c1", 5, "archive"),
+        ],
+        "cluster_id string, image_id string, size long, location string",
+    )
+    rows = {r["path"]: r for r in directory_tree(members).collect()}
+    assert set(rows) == {
+        "corpus", "corpus/big", "corpus/big/x", "corpus/small", "archive",
+    }
+    assert rows["corpus"]["parent_id"] is None and rows["corpus"]["depth"] == 1
+    assert rows["corpus/big/x"]["parent_id"] == "corpus/big"
+    assert rows["corpus/big/x"]["depth"] == 3
+    # rollup stats agree with location_rollup semantics
+    assert rows["corpus"]["n_dup_files"] == 3
+    assert rows["corpus"]["dup_bytes"] == 210
+    assert rows["corpus/big"]["n_clusters"] == 1
+    # sibling ordering under 'corpus': big (200 bytes) before small (10)
+    assert rows["corpus/big"]["sibling_rank"] == 1
+    assert rows["corpus/small"]["sibling_rank"] == 2
+    # roots are ranked within the null-parent level: corpus (210) > archive (5)
+    assert rows["corpus"]["sibling_rank"] == 1
+    assert rows["archive"]["sibling_rank"] == 2
