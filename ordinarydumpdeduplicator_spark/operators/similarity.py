@@ -1,16 +1,20 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths, as a training-data pipeline needs at 100 TB:
+Three paths, as a training-data pipeline needs at 100 TB:
 
-- ``brute_force_topk``: exact cosine top-k via a blocked cross join — the
-  correctness baseline. Dot products are pure built-in expressions
-  (``F.zip_with`` + ``F.aggregate``) so the whole plan stays in codegen;
-  no Python. Quadratic — only for small corpora / the oracle check.
-- ``lsh_topk``: random-hyperplane LSH (sign sketch = SimHash over the
-  embedding) -> band buckets -> candidate equi-join -> exact cosine on
-  candidates -> top-k. Sub-quadratic; buckets bound the join. This is the
-  scale path; hyperplanes are a tiny seeded matrix broadcast via literal
-  arrays, so it needs no Python either.
+- ``brute_force_topk``: EXACT cosine top-k, fully distributed — a
+  blocked block-nested-loop over (query block x corpus shard) cogroup
+  tiles, one float64 matmul per tile, global window re-rank. The
+  correctness baseline every approximate path is recall-gated against;
+  n^2 compute, so beyond oracle scale use the paths below.
+- ``lsh_topk`` / ``embedding_near_pairs_lsh``: random-hyperplane LSH
+  (``band_sketch``: per-band sign-bit keys, vectorized numpy per Arrow
+  batch) -> band buckets (capped) -> candidate equi-join -> exact cosine
+  verify. Sub-quadratic; banding chosen per regime (8x8-bit default for
+  near-dup similarity, finer bands for low thresholds).
+- ``ivf_topk``: coarse k-means quantizer (seeded, trained on a
+  hash-ordered pseudo-random sample) -> cell-sharded exact search over
+  n_probe cells. The mid-similarity generic-ANN path.
 
 Top-k per query = ranking window (row_number <= k) — the same O5/O6
 arg-max pattern as the reference's latest-inspection filter

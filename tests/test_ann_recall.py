@@ -51,7 +51,10 @@ SF_DIR = "/root/testdata/sf0.001"
 def docs(spark):
     df = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
     df.count()
-    return df
+    yield df
+    # cache substitution would otherwise replace later full-table scans
+    # (e.g. test_plans' pruning audits) with this full-schema cached plan
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
@@ -204,7 +207,7 @@ def test_embedding_lsh_subset_on_testdata(spark):
     """On the driver's own (random-noise) embeddings the LSH pair set must
     still be a strict subset of the exact pair set — precision 1.0 is
     layout-independent even where recall cannot be."""
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     exact = {
         (r.vec_id_a, r.vec_id_b)
         for r in embedding_dup_pairs(emb, threshold=0.4).collect()

@@ -112,3 +112,43 @@ def test_merge_null_key_raises(spark):
     source = spark.createDataFrame([(None, 9)], "k string, w int")
     with pytest.raises(ValueError, match="null merge key"):
         execute_merge(target, source, MergeSpec(on=["k"], matched=[(None, None)]))
+
+
+def test_merge_random_property_vs_pandas_oracle(spark):
+    """Randomized: execute_merge == a row-at-a-time pandas interpretation
+    of the same spec (clauses in order, first match wins)."""
+    import random
+
+    rnd = random.Random(7)
+    target_rows = [(f"k{i}", rnd.randint(0, 9), "keep") for i in range(40)]
+    source_rows = [
+        (f"k{i}", rnd.choice(["del", "upd", "noop"]))
+        for i in rnd.sample(range(60), 30)  # some keys miss the target
+    ]
+    target = spark.createDataFrame(target_rows, "k string, v int, tag string")
+    source = spark.createDataFrame(source_rows, "k string, op string")
+    spec = MergeSpec(
+        on=["k"],
+        matched=[
+            ("s.op = 'del'", None),
+            ("s.op = 'upd' AND t.v >= 5", {"tag": "'big'"}),
+            ("s.op = 'upd'", {"tag": "'small'", "v": "t.v + 100"}),
+        ],
+    )
+
+    src = {k: op for k, op in source_rows}
+    expected = set()
+    for k, v, tag in target_rows:
+        op = src.get(k)
+        if op == "del":
+            continue
+        if op == "upd":
+            if v >= 5:
+                expected.add((k, v, "big"))
+            else:
+                expected.add((k, v + 100, "small"))
+        else:
+            expected.add((k, v, tag))
+
+    got = {tuple(r) for r in execute_merge(target, source, spec).collect()}
+    assert got == expected
