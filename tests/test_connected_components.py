@@ -11,11 +11,21 @@ from ordinarydumpdeduplicator_spark.operators.connected_components import (
 
 
 def _run(spark, edge_list):
+    """Run BOTH paths — the driver union-find fast path (default
+    threshold) and the distributed alternating-star loop
+    (driver_threshold=0) — and assert they agree before returning."""
     edges = spark.createDataFrame(
         [(a, b) for a, b in edge_list], schema="src string, dst string"
     )
-    rows = connected_components(edges).collect()
-    return {r.image_id: r.cluster_id for r in rows}
+    fast = {
+        r.image_id: r.cluster_id for r in connected_components(edges).collect()
+    }
+    dist = {
+        r.image_id: r.cluster_id
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert fast == dist
+    return fast
 
 
 def test_single_edge(spark):

@@ -34,9 +34,11 @@ edges_strategy = st.lists(
 @settings(**SPARK_SETTINGS)
 def test_cc_matches_union_find_oracle(spark, edges):
     df = spark.createDataFrame(edges, "src string, dst string")
+    # driver_threshold=0 forces the distributed alternating-star loop —
+    # the driver fast path IS uf_components, so only this is a real test
     got = {
         r["image_id"]: r["cluster_id"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, driver_threshold=0).collect()
     }
     want = uf_components([(a, b) for a, b in edges if a != b])
     assert got == want
