@@ -32,8 +32,12 @@ _HASH_SEED = 0x5EED_0DD0
 
 
 def _coeffs(num_hashes: int = NUM_HASHES, seed: int = _HASH_SEED):
+    # a is odd and < 2^63 (not full 64-bit): the DuckDB oracle reproduces
+    # h_j in signed 128-bit (HUGEINT) arithmetic, and a < 2^63 keeps
+    # a*x + b < 2^127 for any 64-bit shingle hash x. Halving the
+    # multiply-shift family loses nothing measurable.
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, 1 << 63, size=num_hashes, dtype=np.uint64) * 2 + 1
+    a = rng.integers(0, 1 << 62, size=num_hashes, dtype=np.uint64) * 2 + 1
     b = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
     return a, b
 

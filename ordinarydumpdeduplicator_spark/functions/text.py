@@ -47,10 +47,14 @@ def shingles(text: str | None, k: int = SHINGLE_K) -> set[str]:
 
 
 def shingle_hash64(s: str) -> int:
-    """Stable 64-bit shingle hash (process-independent, unlike hash())."""
-    return int.from_bytes(
-        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
-    )
+    """Stable 64-bit shingle hash (process-independent, unlike hash()).
+
+    Defined as DuckDB's ``md5_number_lower``: bytes 8..16 of the MD5
+    digest, little-endian — so the DuckDB oracle can recompute the exact
+    same shingle hashes in SQL (verified bit-for-bit by the
+    minhash_candidates oracle). MD5 here is a mixing function, not a
+    security boundary; it is also marginally faster than blake2b-8."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
 
 
 def shingle_hashes(text: str | None, k: int = SHINGLE_K) -> np.ndarray:

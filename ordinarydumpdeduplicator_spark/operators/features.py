@@ -44,7 +44,7 @@ from ..functions import malloc_tuning  # noqa: F401 (worker-side mallopt)
 from ..fixtures import codecs
 from ..functions.minhash import minhash_signature_batch
 from ..functions.phash import gray_features
-from ..functions.text import tokens
+from ..functions.text import shingle_hash64, tokens
 
 FEATURES_SCHEMA = (
     "image_id string, size bigint, sha string, status string, "
@@ -65,9 +65,7 @@ def simhash64(toks: list[str]) -> int:
         return 0
     acc = np.zeros(64, dtype=np.int64)
     for t in toks:
-        h = int.from_bytes(
-            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
-        )
+        h = shingle_hash64(t)  # md5-low64 — DuckDB-recomputable (oracle)
         bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits.astype(bool), 1, -1)
     v = 0
@@ -87,9 +85,7 @@ _SIMHASH_TOKEN_CACHE: dict[str, np.ndarray] = {}
 def _token_vec(t: str) -> np.ndarray:
     v = _SIMHASH_TOKEN_CACHE.get(t)
     if v is None:
-        h = int.from_bytes(
-            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
-        )
+        h = shingle_hash64(t)  # md5-low64 — DuckDB-recomputable (oracle)
         bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         v = bits.astype(np.int8) * 2 - 1
         if len(_SIMHASH_TOKEN_CACHE) < 1_000_000:  # bound worker memory
