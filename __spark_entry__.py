@@ -3,7 +3,8 @@
 ``entry(spark)`` runs the flagship near-duplicate text-clustering pipeline
 on sf0.001. ``queries()`` exposes the engine's operators (SURVEY.md §2 ids
 cited per entry) over the driver-provided testdata tables; ``oracle_sql()``
-gives the DuckDB-checkable equivalent for every SQL-expressible one.
+gives the DuckDB-checkable equivalent for every query except ivf_topk
+(driver-side k-means quantizer — recall-gated by tests instead).
 Column names/aliases match between the two on purpose — the driver's
 compare hashes values under sorted column names.
 """
@@ -101,15 +102,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_token_jaccard_pairs(spark, sf):
         return token_jaccard_pairs(_docs(spark, sf))
 
-    def q_near_dup_text_pairs(spark, sf):  # rows-only (LSH not in SQL)
+    def q_near_dup_text_pairs(spark, sf):
         return near_dup_text_pairs(_docs(spark, sf))
 
-    def q_minhash_candidates(spark, sf):  # rows-only
+    def q_minhash_candidates(spark, sf):
         return minhash_candidate_pairs(_docs(spark, sf)).select(
             F.col("src").alias("doc_id_a"), F.col("dst").alias("doc_id_b")
         )
 
-    def q_simhash_near_pairs(spark, sf):  # rows-only (blake2b not in SQL)
+    def q_simhash_near_pairs(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.text_dedup import (
             simhash_near_pairs,
         )
@@ -123,7 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return embedding_dup_pairs(_tbl(spark, sf, "embeddings"), threshold=0.4)
 
-    def q_embedding_near_pairs_lsh(spark, sf):  # rows-only (sketch not in SQL)
+    def q_embedding_near_pairs_lsh(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.similarity import (
             embedding_near_pairs_lsh,
         )
@@ -339,7 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return bpe_token_stats(_docs(spark, sf))
 
-    def q_winnowing_fingerprints(spark, sf):  # rows-only (strided numpy)
+    def q_winnowing_fingerprints(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.text_analysis import (
             winnowing_fingerprints,
         )
@@ -365,7 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _tbl(spark, sf, "embeddings")
         return brute_force_topk(emb, k=3).select("vec_id", "neighbor_id", "rank")
 
-    def q_lsh_topk(spark, sf):  # rows-only (hyperplane sketch not in SQL)
+    def q_lsh_topk(spark, sf):
         emb = _tbl(spark, sf, "embeddings")
         return lsh_topk(emb, dim=64, k=3).select("vec_id", "neighbor_id", "rank")
 
@@ -415,6 +416,8 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
 def oracle_sql() -> dict[str, str]:
+    from ordinarydumpdeduplicator_spark import oracles as osql
+
     lang_scores = {
         "en": ["the", "and", "of", "to", "in"],
         "de": ["der", "die", "und", "das", "ist"],
@@ -708,5 +711,18 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
             WHERE rank <= 3
         """,
-        # near_dup_text_pairs / minhash_candidates / lsh_topk: rows-only
+        # hash-sketch queries: the engine's exact math recomputed in
+        # DuckDB (md5-low64 hashes, HUGEINT multiply-shift, inlined
+        # hyperplane literals) — ordinarydumpdeduplicator_spark/oracles.py
+        "minhash_candidates": osql.minhash_candidates_sql(),
+        "near_dup_text_pairs": osql.near_dup_text_pairs_sql(),
+        "simhash_near_pairs": osql.simhash_near_pairs_sql(),
+        "winnowing_fingerprints": osql.winnowing_fingerprints_sql(),
+        "embedding_near_pairs_lsh": osql.embedding_near_pairs_lsh_sql(
+            dim=64, threshold=0.4, bands=16
+        ),
+        "lsh_topk": osql.lsh_topk_sql(dim=64, k=3),
+        # ivf_topk stays rows-only: its centroids come from driver-side
+        # k-means — not SQL-expressible; recall vs topk_similar is pinned
+        # by tests/test_ann_recall.py
     }

@@ -1,0 +1,367 @@
+"""DuckDB oracle SQL for the hash-sketch queries (driver correctness gate).
+
+Each builder returns ANSI-ish DuckDB SQL that recomputes the engine's EXACT
+math — not an approximation of it:
+
+- the 64-bit shingle/token hash is ``md5_number_lower`` (the definition of
+  ``functions/text.shingle_hash64``);
+- MinHash multiply-shift runs in signed 128-bit (HUGEINT) arithmetic with
+  the engine's seeded coefficients inlined as literals (a < 2^63 keeps
+  ``a*x + b`` < 2^127, see functions/minhash._coeffs);
+- LSH band membership is tested by signature-SLICE equality. The engine
+  hashes each slice into a 64-bit band key (functions/minhash.
+  band_keys_from_mins) purely as a compaction; equal slices <=> equal keys
+  up to negligible 64-bit collisions, so slice equality is the semantics;
+- hyperplane sketches inline the seeded plane matrix
+  (operators/similarity._hyperplanes) as double literals; a sketch bit is
+  sign(vec . plane) exactly as the Arrow UDF computes it;
+- cosine for the JVM-fold paths mirrors Spark's evaluation order
+  bit-for-bit: float32 products (FLOAT * FLOAT), each widened to double,
+  summed left-to-right (operators/similarity.with_cosine).
+
+These strings are consumed by ``__spark_entry__.oracle_sql()`` and by
+``tools/check_oracles.py``; tests/test_oracle_parity.py pins Spark == DuckDB
+on the driver's testdata.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .functions.minhash import _A, _B, BANDS, NUM_HASHES, ROWS_PER_BAND
+from .operators.lsh import DEFAULT_BUCKET_CAP
+from .operators.similarity import DEFAULT_SKETCH_BUCKET_CAP, _hyperplanes
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_MOD64 = "18446744073709551616::HUGEINT"  # 2^64
+
+# powers of two as HUGEINT literals (bit extraction without shifts)
+_P2_64 = "[" + ", ".join(f"{1 << b}::HUGEINT" for b in range(64)) + "]"
+_P16 = "[" + ", ".join(f"{1 << (16 * k)}::HUGEINT" for k in range(4)) + "]"
+
+
+def _hugeint_list(vals) -> str:
+    return "[" + ", ".join(f"{int(v)}::HUGEINT" for v in vals) + "]"
+
+
+# --------------------------------------------------------------- minhash/LSH
+
+
+def _minhash_band_ctes(cap: int = DEFAULT_BUCKET_CAP) -> str:
+    """CTE chain: documents -> shingles -> signatures -> band rows ->
+    capped buckets (the pairs_from_buckets contract of operators/lsh.py:
+    small buckets emit all pairs, over-cap buckets emit star edges to the
+    bucket-min id). Ids are compared as STRINGS — the engine's shared
+    banding machinery casts ids to string (operators/text_dedup.
+    minhash_candidate_pairs)."""
+    alist = _hugeint_list(_A)
+    blist = _hugeint_list(_B)
+    r = ROWS_PER_BAND
+    return f"""
+    toks AS (
+      SELECT doc_id::VARCHAR AS id, {_TOKS} AS toks, text FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT id, text,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                      for i in range(1, len(toks) - 1)])
+             END AS sh
+      FROM toks WHERE len(toks) > 0
+    ),
+    -- set-based, not nested lambdas: shingle rows x coefficient rows,
+    -- vectorized min per (doc, hash fn). Lambda-shaped evaluation of the
+    -- same math re-materializes the 128-element coefficient literal per
+    -- element and runs ~100x slower.
+    shr AS (
+      SELECT id, md5_number_lower(unnest(sh))::HUGEINT AS h FROM sh
+    ),
+    coeff AS (
+      SELECT unnest(range(1, {NUM_HASHES + 1})) AS j,
+             unnest({alist}) AS a, unnest({blist}) AS b
+    ),
+    vals AS (
+      SELECT shr.id, coeff.j,
+             min(((coeff.a * shr.h + coeff.b) % {_MOD64}) // 4294967296) AS v
+      FROM shr CROSS JOIN coeff GROUP BY shr.id, coeff.j
+    ),
+    bands AS MATERIALIZED (
+      SELECT id, ((j - 1) // {r})::BIGINT AS band,
+             array_to_string(list(v ORDER BY j), ',') AS key
+      FROM vals GROUP BY id, (j - 1) // {r}
+    ),
+    stats AS (
+      SELECT band, key, count(*) AS n, min(id) AS mn
+      FROM bands GROUP BY band, key HAVING count(*) >= 2
+    ),
+    bk AS MATERIALIZED (
+      SELECT bands.id, bands.band, bands.key, n, mn
+      FROM bands JOIN stats USING (band, key)
+    ),
+    cand AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT a.id AS src, b.id AS dst
+        FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+        WHERE a.n <= {cap} AND a.id < b.id
+        UNION ALL
+        SELECT mn AS src, id AS dst FROM bk WHERE n > {cap} AND id <> mn
+      )
+    )"""
+
+
+def minhash_candidates_sql() -> str:
+    return f"""
+    WITH {_minhash_band_ctes()}
+    SELECT src AS doc_id_a, dst AS doc_id_b FROM cand
+    """
+
+
+def near_dup_text_pairs_sql(
+    jaccard_threshold: float = 0.5, lcs_ratio: float = 0.6
+) -> str:
+    """Candidates (above) verified exactly as operators/verify.
+    verify_caption_pairs: shingle-set Jaccard >= threshold OR longest
+    common substring ratio >= lcs_ratio. The LCS >= L check is equivalent
+    to 'some length-L substring is shared'; L is the smallest integer with
+    L / max(min_len, 1) >= ratio under the same double division Spark
+    evaluates."""
+    return f"""
+    WITH {_minhash_band_ctes()},
+    j AS (
+      SELECT cand.src, cand.dst,
+             a.sh AS sh_a, b.sh AS sh_b, a.text AS ta, b.text AS tb
+      FROM cand JOIN sh a ON cand.src = a.id JOIN sh b ON cand.dst = b.id
+    ),
+    scored AS (
+      SELECT src, dst, ta, tb,
+             len(list_intersect(sh_a, sh_b))::DOUBLE
+               / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+               AS jacc,
+             list_min([l for l in range(1, least(length(ta), length(tb)) + 1)
+                       if l::DOUBLE / greatest(least(length(ta), length(tb)), 1)
+                          >= {lcs_ratio}]) AS L
+      FROM j
+    )
+    SELECT src AS doc_id_a, dst AS doc_id_b, 'caption_near' AS kind
+    FROM scored
+    WHERE jacc >= {jaccard_threshold}
+       OR (L IS NOT NULL AND len(list_intersect(
+             [substr(ta, i, L) for i in range(1, length(ta) - L + 2)],
+             [substr(tb, i, L) for i in range(1, length(tb) - L + 2)])) > 0)
+    """
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def simhash_near_pairs_sql(
+    hamming_threshold: int = 3, cap: int = DEFAULT_BUCKET_CAP
+) -> str:
+    """operators/text_dedup.simhash_near_pairs: 64-bit token SimHash
+    (unit weights, token multiplicity preserved), 4x16-bit block bands,
+    capped buckets, exact Hamming <= threshold."""
+    return f"""
+    WITH docs0 AS (
+      SELECT doc_id::VARCHAR AS id, {_TOKS} AS toks
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    -- set-based: token rows (multiplicity preserved by unnest) x 64 bit
+    -- rows, vectorized +-1 sums per (doc, bit)
+    tok AS (
+      SELECT id, md5_number_lower(unnest(toks))::HUGEINT AS h FROM docs0
+    ),
+    bits AS (
+      SELECT unnest(range(0, 64)) AS b, unnest({_P2_64}) AS pw
+    ),
+    acc AS (
+      SELECT tok.id, bits.pw,
+             sum(CASE WHEN (tok.h // bits.pw) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      FROM tok CROSS JOIN bits GROUP BY tok.id, bits.pw
+    ),
+    vsum AS (
+      SELECT id, sum(CASE WHEN s > 0 THEN pw ELSE 0::HUGEINT END) AS v
+      FROM acc GROUP BY id
+    ),
+    sim AS (
+      SELECT d.id, coalesce(vs.v, 0::HUGEINT) AS v
+      FROM docs0 d LEFT JOIN vsum vs ON d.id = vs.id
+    ),
+    signed AS MATERIALIZED (
+      SELECT id, v,
+             (CASE WHEN v >= 9223372036854775808::HUGEINT
+                   THEN v - {_MOD64} ELSE v END)::BIGINT AS s
+      FROM sim
+    ),
+    banded AS MATERIALIZED (
+      SELECT id, s, bs.b AS band, ((v // bs.pw16) % 65536)::BIGINT AS key
+      FROM signed CROSS JOIN (
+        SELECT unnest(range(0, 4)) AS b, unnest({_P16}) AS pw16) bs
+    ),
+    stats AS (
+      SELECT band, key, count(*) AS n, min(id) AS mn
+      FROM banded GROUP BY band, key HAVING count(*) >= 2
+    ),
+    bk AS MATERIALIZED (
+      SELECT banded.id, banded.band, banded.key, n, mn
+      FROM banded JOIN stats USING (band, key)
+    ),
+    cand AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT a.id AS src, b.id AS dst
+        FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+        WHERE a.n <= {cap} AND a.id < b.id
+        UNION ALL
+        SELECT mn AS src, id AS dst FROM bk WHERE n > {cap} AND id <> mn
+      )
+    )
+    SELECT src AS doc_id_a, dst AS doc_id_b,
+           bit_count(xor(sa.s, sb.s))::BIGINT AS hamming
+    FROM cand JOIN signed sa ON cand.src = sa.id
+              JOIN signed sb ON cand.dst = sb.id
+    WHERE bit_count(xor(sa.s, sb.s)) <= {hamming_threshold}
+    """
+
+
+# ---------------------------------------------------------------- winnowing
+
+
+def winnowing_fingerprints_sql(k: int = 5, window: int = 4) -> str:
+    """operators/text_analysis.winnowing_fingerprints, counted form:
+    k-gram rolling hash (base 1000000007 mod 2^64, per-step wraparound like
+    numpy uint64) over the normalized character stream, min per sliding
+    window, distinct count. The corpus is ASCII so ord(char) == byte."""
+    B = 1000000007
+    # nested per-step wraparound fold over the k window characters
+    h = f"ord(substr(s, i, 1))::HUGEINT"
+    for j in range(1, k):
+        h = f"(({h} * {B} + ord(substr(s, i+{j}, 1))) % {_MOD64})"
+    w = window
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, text, array_to_string({_TOKS}, ' ') AS s FROM documents
+    ),
+    h AS (
+      SELECT doc_id, text,
+             CASE WHEN length(s) >= {k} THEN
+               [{h} for i in range(1, length(s) - {k - 2})]
+             END AS hs
+      FROM norm
+    ),
+    sel AS (
+      SELECT doc_id, text,
+             CASE WHEN hs IS NULL THEN NULL
+                  WHEN len(hs) < {w} THEN [list_min(hs)]
+                  ELSE [list_min(hs[i:i+{w - 1}]) for i in range(1, len(hs) - {w - 2})]
+             END AS sel
+      FROM h
+    )
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR text = '' OR sel IS NULL THEN NULL
+                ELSE len(list_distinct(sel)) END AS n_fingerprints
+    FROM sel
+    """
+
+
+# ------------------------------------------------------- hyperplane sketches
+
+
+def _cosine_jvm(a: str, b: str) -> str:
+    """Bit-exact mirror of operators/similarity.with_cosine: float32
+    products (the arrays are FLOAT[]), each widened to double, summed
+    left-to-right; norms likewise; 0.0 when the denominator is not > 0."""
+    dot = f"list_sum(list_transform(list_zip({a}, {b}), p -> (p[1] * p[2])::DOUBLE))"
+    na = f"sqrt(list_sum(list_transform({a}, x -> (x * x)::DOUBLE)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> (x * x)::DOUBLE)))"
+    return (
+        f"CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb}) "
+        f"ELSE 0.0 END"
+    )
+
+
+def _sketch_keys_expr(dim: int, n_planes: int, bands: int) -> str:
+    """[key_band0, key_band1, ...] where key_g packs the sign bits of the
+    band's planes with weights 2^j — exactly operators/similarity.
+    band_sketch with the seeded plane matrix inlined."""
+    planes = _hyperplanes(dim, n_planes)
+    bits_per = n_planes // bands
+    keys = []
+    for g in range(bands):
+        terms = []
+        for j in range(bits_per):
+            row = planes[g * bits_per + j]
+            lit = "[" + ", ".join(repr(float(x)) for x in row) + "]"
+            terms.append(
+                f"(CASE WHEN list_inner_product(embedding, {lit}) > 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        keys.append(" + ".join(terms))
+    return "[" + ", ".join(keys) + "]"
+
+
+def _sketch_band_ctes(
+    dim: int, n_planes: int, bands: int, cap: int
+) -> str:
+    """embeddings -> per-band sketch keys -> band rows with over-cap
+    buckets DROPPED (operators/similarity._cap_buckets semantics — no star
+    edges in the top-k/pairs sketch path)."""
+    return f"""
+    sk AS MATERIALIZED (
+      SELECT vec_id, embedding, {_sketch_keys_expr(dim, n_planes, bands)} AS keys
+      FROM embeddings
+    ),
+    br0 AS (
+      SELECT vec_id, embedding, bs.b AS band, keys[bs.b+1] AS key
+      FROM sk CROSS JOIN (SELECT unnest(range(0, {bands})) AS b) bs
+    ),
+    ok AS (
+      SELECT band, key FROM br0 GROUP BY band, key HAVING count(*) <= {cap}
+    ),
+    br AS MATERIALIZED (SELECT br0.* FROM br0 JOIN ok USING (band, key))"""
+
+
+def embedding_near_pairs_lsh_sql(
+    dim: int,
+    threshold: float,
+    bands: int = 8,
+    n_planes: int = 64,
+    cap: int = DEFAULT_SKETCH_BUCKET_CAP,
+) -> str:
+    return f"""
+    WITH {_sketch_band_ctes(dim, n_planes, bands, cap)},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM br a JOIN br b ON a.band = b.band AND a.key = b.key
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT vec_id_a, vec_id_b FROM cand
+    WHERE {_cosine_jvm('ea', 'eb')} >= {threshold}
+    """
+
+
+def lsh_topk_sql(
+    dim: int,
+    k: int,
+    bands: int = 8,
+    n_planes: int = 64,
+    cap: int = DEFAULT_SKETCH_BUCKET_CAP,
+) -> str:
+    return f"""
+    WITH {_sketch_band_ctes(dim, n_planes, bands, cap)},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             a.embedding AS ea, b.embedding AS eb
+      FROM br a JOIN br b ON a.band = b.band AND a.key = b.key
+      WHERE a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT vec_id, neighbor_id, {_cosine_jvm('ea', 'eb')} AS cosine
+      FROM cand
+    )
+    SELECT vec_id, neighbor_id, rank FROM (
+      SELECT vec_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """

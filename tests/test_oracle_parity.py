@@ -1,0 +1,120 @@
+"""Pin the hash-sketch DuckDB oracles to the Spark queries — the driver's
+CORRECTNESS gate, replicated in CI on a subset of the driver testdata.
+
+The subset (150 docs / 400 vectors, written once per session to tmp
+parquet) keeps the HUGEINT-heavy minhash oracle a few seconds instead of
+~10s while exercising every code path: real duplicates survive the cut
+because the subset is a prefix of doc_id order and the generator clusters
+ids. Any drift between the engine's numpy hashing and the SQL mirror
+(ordinarydumpdeduplicator_spark/oracles.py) fails here before the driver
+sees it."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def subset_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("oracle_subset"))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    docs.orderBy("doc_id").limit(150).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/documents.parquet")
+    embs.orderBy("vec_id").limit(400).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+@pytest.fixture(scope="module")
+def duck(subset_dir):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{subset_dir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 6)
+    return v
+
+
+def _norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(_norm_cell(r[i]) for i in order) for r in rows), key=repr
+    ), [cols[i] for i in order]
+
+
+def _assert_parity(spark_df, con, sql):
+    rel = con.sql(sql)
+    sn, sc = _norm(spark_df.columns, [tuple(r) for r in spark_df.collect()])
+    dn, dc = _norm(rel.columns, rel.fetchall())
+    assert sc == dc, f"columns differ: {sc} vs {dc}"
+    assert len(sn) == len(dn), f"rowcount {len(sn)} vs {len(dn)}"
+    diffs = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert not diffs, f"first diffs: {diffs[:3]}"
+
+
+def test_minhash_candidates_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+    from ordinarydumpdeduplicator_spark import oracles as o
+
+    df = e.queries()["minhash_candidates"](spark, subset_dir)
+    assert df.count() > 0, "subset lost all candidate pairs"
+    _assert_parity(df, duck, o.minhash_candidates_sql())
+
+
+def test_near_dup_text_pairs_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+    from ordinarydumpdeduplicator_spark import oracles as o
+
+    df = e.queries()["near_dup_text_pairs"](spark, subset_dir)
+    _assert_parity(df, duck, o.near_dup_text_pairs_sql())
+
+
+def test_simhash_near_pairs_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+    from ordinarydumpdeduplicator_spark import oracles as o
+
+    df = e.queries()["simhash_near_pairs"](spark, subset_dir)
+    assert df.count() > 0, "subset lost all simhash pairs"
+    _assert_parity(df, duck, o.simhash_near_pairs_sql())
+
+
+def test_winnowing_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+    from ordinarydumpdeduplicator_spark import oracles as o
+
+    df = e.queries()["winnowing_fingerprints"](spark, subset_dir)
+    _assert_parity(df, duck, o.winnowing_fingerprints_sql())
+
+
+def test_embedding_near_pairs_lsh_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+    from ordinarydumpdeduplicator_spark import oracles as o
+
+    df = e.queries()["embedding_near_pairs_lsh"](spark, subset_dir)
+    assert df.count() > 0, "subset lost all embedding near pairs"
+    _assert_parity(
+        df, duck, o.embedding_near_pairs_lsh_sql(dim=64, threshold=0.4, bands=16)
+    )
+
+
+def test_lsh_topk_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+    from ordinarydumpdeduplicator_spark import oracles as o
+
+    df = e.queries()["lsh_topk"](spark, subset_dir)
+    _assert_parity(df, duck, o.lsh_topk_sql(dim=64, k=3))
