@@ -88,9 +88,22 @@ def _driver_union_find(
         stats.update(rounds=0, n_input_edges=n_edges, n_star_edges=n_edges)
     spark = e.sparkSession
     n_part = max(2, min(spark.sparkContext.defaultParallelism, len(assign) // 50_000 + 1))
-    return spark.createDataFrame(
-        list(assign.items()), "image_id string, cluster_id string"
-    ).repartition(n_part)
+    # Arrow (pandas) conversion + eager checkpoint: every downstream action
+    # on the assignment is then JVM-only. The list-of-tuples path keeps a
+    # Python parallelize in the lineage, and EACH action on it re-runs
+    # Python serialization tasks — measured 5-7s per action at 7k rows in
+    # a warm session (which made this "fast path" slower than the fixpoint
+    # it replaces).
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        list(assign.items()), columns=["image_id", "cluster_id"]
+    )
+    return (
+        spark.createDataFrame(pdf, "image_id string, cluster_id string")
+        .repartition(n_part)
+        .localCheckpoint()
+    )
 
 
 def connected_components(
