@@ -141,10 +141,25 @@ def connected_components(
 
     ``stats`` (optional dict) receives convergence telemetry:
     rounds, input edge count, final edge count."""
+    spark = edges.sparkSession
+    if checkpoint and driver_threshold > 0:
+        # Cheap pre-check on the RAW (non-deduplicated) edge frame: a
+        # map-only count and, below threshold, a map-only collect — the
+        # small-graph path then never pays the _canon shuffle +
+        # checkpoint wave. Raw count >= canonical count, so the cutover
+        # is conservative; union-find neither needs dedup nor canonical
+        # direction. Self-loops are dropped to keep the "nodes appearing
+        # in no (proper) edge are absent" contract.
+        raw = edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        ).filter(F.col("u") != F.col("v"))
+        n_raw = raw.count()
+        if 0 < n_raw <= driver_threshold:
+            return _driver_union_find(raw, n_raw, stats)
     e = _canon(edges)
     if checkpoint:
         e = e.localCheckpoint(eager=False)
-    spark = edges.sparkSession
     n_edges = e.count() if checkpoint else None  # also materializes the cut
     if n_edges is not None and 0 < n_edges <= driver_threshold:
         return _driver_union_find(e, n_edges, stats)

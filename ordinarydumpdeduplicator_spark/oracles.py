@@ -26,9 +26,7 @@ on the driver's testdata.
 
 from __future__ import annotations
 
-import numpy as np
-
-from .functions.minhash import _A, _B, BANDS, NUM_HASHES, ROWS_PER_BAND
+from .functions.minhash import _A, _B, NUM_HASHES, ROWS_PER_BAND
 from .operators.lsh import DEFAULT_BUCKET_CAP
 from .operators.similarity import DEFAULT_SKETCH_BUCKET_CAP, _hyperplanes
 
