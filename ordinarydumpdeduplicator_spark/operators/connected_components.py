@@ -209,6 +209,54 @@ def connected_components(
     return members.union(roots).distinct()
 
 
+def incremental_clusters(
+    prev_assign: DataFrame,
+    new_edges: DataFrame,
+    driver_threshold: int = DRIVER_EDGE_THRESHOLD,
+) -> DataFrame:
+    """Re-cluster ONLY the components touched by ``new_edges``.
+
+    prev_assign(image_id, cluster_id): the previous run's assignments.
+    new_edges(src, dst): edges discovered by the incremental batch (new
+    node <-> new node, or new node <-> existing node).
+
+    The previous assignment rows ARE star edges (member -> component min),
+    so connectivity and the min-id convention of every affected component
+    are preserved exactly: the output equals a full recompute over (all
+    historical edges ∪ new_edges), because an assignment star is a
+    connectivity-preserving, min-keeping contraction of its component.
+    Untouched components are passed through without a shuffle of their
+    membership (anti join on the affected cluster-id set, which is tiny
+    and broadcast).
+
+    Returns the new full assignment frame (nodes in no edge stay absent,
+    same contract as ``connected_components``)."""
+    nodes = (
+        new_edges.select(F.col("src").alias("image_id"))
+        .union(new_edges.select(F.col("dst").alias("image_id")))
+        .distinct()
+    )
+    affected = (
+        prev_assign.join(nodes, "image_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    affected_assign = prev_assign.join(
+        F.broadcast(affected), "cluster_id", "left_semi"
+    )
+    star_edges = affected_assign.select(
+        F.col("cluster_id").alias("src"), F.col("image_id").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    sub = connected_components(
+        new_edges.select("src", "dst").unionByName(star_edges),
+        driver_threshold=driver_threshold,
+    )
+    untouched = prev_assign.join(
+        F.broadcast(affected), "cluster_id", "left_anti"
+    )
+    return untouched.unionByName(sub)
+
+
 # ------------------------------------------------------------ python oracle
 
 

@@ -55,3 +55,73 @@ def test_incremental_drops_removed_ids(spark, tiny_corpus):
     kept_ids = {r["image_id"] for r in feats2.select("image_id").collect()}
     gone = set(pdf.iloc[:25]["image_id"])
     assert not (kept_ids & gone)
+
+
+# ---------------------------------------------------- incremental LSH path
+
+
+def _assign_dict(df):
+    return {r["image_id"]: r["cluster_id"] for r in df.collect()}
+
+
+def test_incremental_clusters_equals_full_cc(spark):
+    """Splitting an edge stream into (initial CC + incremental batch)
+    gives the same assignment as one CC over all edges."""
+    import random
+
+    from ordinarydumpdeduplicator_spark.operators.connected_components import (
+        incremental_clusters,
+    )
+
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = [
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(160)
+        )
+        if a != b
+    ]
+    half = len(edges) // 2
+    mk = lambda rows: spark.createDataFrame(rows, "src string, dst string")
+    full = connected_components(mk(edges))
+    first = connected_components(mk(edges[:half]))
+    incr = incremental_clusters(first, mk(edges[half:]))
+    assert _assign_dict(incr) == _assign_dict(full)
+
+
+def test_incremental_caption_run_equals_batch(spark, tiny_corpus):
+    """Two incremental caption batches == the batch caption pipeline over
+    the full corpus: same assignments, band index holds reps only, and
+    only affected components re-cluster."""
+    from ordinarydumpdeduplicator_spark.operators.lsh import (
+        caption_candidates,
+    )
+    from ordinarydumpdeduplicator_spark.operators.verify import (
+        verify_caption_pairs,
+    )
+    from ordinarydumpdeduplicator_spark.plans.incremental import (
+        incremental_caption_run,
+    )
+
+    pdf, _ = tiny_corpus
+    full_images = to_spark_images(spark, pdf)
+    caps = full_images.select("image_id", "caption").cache()
+
+    # batch reference: caption family only (exact star + verified near)
+    feats_all = extract_features(full_images).cache()
+    pairs, star = caption_candidates(feats_all, bucket_cap=256)
+    near = verify_caption_pairs(pairs, full_images)
+    ref = connected_components(
+        star.select("src", "dst").unionByName(near.select("src", "dst"))
+    )
+
+    b1 = to_spark_images(spark, pdf.iloc[:120])
+    b2 = to_spark_images(spark, pdf.iloc[120:])
+    s1 = incremental_caption_run(extract_features(b1), caps, None)
+    s2 = incremental_caption_run(extract_features(b2), caps, s1)
+
+    assert _assign_dict(s2["assign"]) == _assign_dict(ref)
+    # band index holds one row-set per distinct caption rep, never members
+    n_reps = s2["reps"].count()
+    assert s2["bands"].select("id").distinct().count() <= n_reps
