@@ -220,19 +220,21 @@ def incremental_caption_run(
         else connected_components(new_edges)
     )
     assign = assign.localCheckpoint()
-    reps = resolved.select("caption_sha", "rep")
-    if prev_reps is not None:
-        reps = prev_reps.unionByName(
-            resolved.filter("is_new_rep").select("caption_sha", "rep")
-        )
+    new_reps = resolved.filter("is_new_rep").select("caption_sha", "rep")
+    reps = (
+        new_reps if prev_reps is None else prev_reps.unionByName(new_reps)
+    )
     bands = (
         new_band_rows if prev_bands is None
         else prev_bands.unionByName(new_band_rows)
     )
+    new_band_rows = new_band_rows.localCheckpoint()
     return dict(
         assign=assign,
         reps=reps.localCheckpoint(),
         bands=bands.localCheckpoint(),
+        new_reps=new_reps.localCheckpoint(),
+        new_bands=new_band_rows,
         edges=new_edges,
     )
 

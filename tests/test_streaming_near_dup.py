@@ -1,0 +1,60 @@
+"""Streaming near-dup clustering == batch caption pipeline on the same
+corpus, across two availableNow restarts (exactly-once per file via the
+stream checkpoint, state tables carried between batches)."""
+
+from __future__ import annotations
+
+import os
+
+from ordinarydumpdeduplicator_spark.operators.connected_components import (
+    connected_components,
+)
+from ordinarydumpdeduplicator_spark.operators.features import extract_features
+from ordinarydumpdeduplicator_spark.operators.lsh import caption_candidates
+from ordinarydumpdeduplicator_spark.operators.verify import verify_caption_pairs
+from ordinarydumpdeduplicator_spark.streaming.near_dup import (
+    stream_near_dup_clusters,
+)
+from tests.conftest import to_spark_images
+
+
+def _assign_dict(df):
+    return {r["image_id"]: r["cluster_id"] for r in df.collect()}
+
+
+def test_stream_near_dup_matches_batch(spark, tiny_corpus, tmp_path):
+    pdf, _ = tiny_corpus
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    os.makedirs(inp, exist_ok=True)
+
+    def run_once():
+        q = stream_near_dup_clusters(spark, inp, state, ck)
+        q.awaitTermination()
+
+    to_spark_images(spark, pdf.iloc[:120]).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_once()
+    to_spark_images(spark, pdf.iloc[120:]).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_once()
+
+    got = spark.read.parquet(os.path.join(state, "assign"))
+
+    full_images = to_spark_images(spark, pdf)
+    feats = extract_features(full_images).cache()
+    pairs, star = caption_candidates(feats, bucket_cap=256)
+    near = verify_caption_pairs(pairs, full_images)
+    ref = connected_components(
+        star.select("src", "dst").unionByName(near.select("src", "dst"))
+    )
+    assert _assign_dict(got) == _assign_dict(ref)
+
+    # third start with no new files: nothing to process, state unchanged
+    before = _assign_dict(got)
+    run_once()
+    after = _assign_dict(spark.read.parquet(os.path.join(state, "assign")))
+    assert after == before
