@@ -137,11 +137,14 @@ def decode_png(data: bytes) -> np.ndarray:
     data_rows = rows[:, 1:].copy()
     sub_rows = ftypes == 1
     if np.any(sub_rows):
-        # un-Sub: cumulative sum over RGB triplets, mod 256 (vectorized:
-        # cumsum per channel column-group with uint8 wraparound)
-        s = data_rows[sub_rows].reshape(-1, w, 3).astype(np.uint64)
-        s_acc = np.cumsum(s, axis=1)
-        data_rows[sub_rows] = (s_acc & 0xFF).astype(np.uint8).reshape(-1, w * 3)
+        # un-Sub: cumulative sum over RGB triplets, mod 256. A uint8
+        # accumulator wraps mod 256 natively — the whole un-filter runs in
+        # the payload's own width (the former uint64 widening was 16x the
+        # memory traffic for identical output).
+        s = data_rows[sub_rows].reshape(-1, w, 3)
+        data_rows[sub_rows] = np.cumsum(s, axis=1, dtype=np.uint8).reshape(
+            -1, w * 3
+        )
     return data_rows.reshape(h, w, 3)
 
 

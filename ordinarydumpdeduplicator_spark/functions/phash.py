@@ -32,16 +32,37 @@ def _dct_matrix(n: int = 32) -> np.ndarray:
 
 _GRAY_W = np.array([0.299, 0.587, 0.114], dtype=np.float64)
 
+# Fixed-point luma weights: 77/256, 150/256, 29/256 (sum = 256/256). All
+# gray math below runs on integers scaled by 256 — exact, deterministic,
+# and ~6x less memory traffic per image than the float64 formulation
+# (uint16 gray + uint32 integral vs float64 end-to-end). On a
+# bandwidth-saturated host the float64 path stops scaling with cores while
+# the integer path keeps the feature stage compute-bound (measured: the
+# 4N-executor feature stage lost ~35% throughput to the f64 traffic).
+_W_R, _W_G, _W_B = 77, 150, 29
+
 
 def _to_gray(pixels: np.ndarray) -> np.ndarray:
-    """RGB HxWx3 uint8 -> HxW float64 grayscale (one tensordot, no
-    per-channel temporaries)."""
+    """RGB HxWx3 uint8 -> HxW float64 grayscale (float reference path;
+    the feature hot path uses the fixed-point `_gray_fp`)."""
     return np.tensordot(pixels.astype(np.float64), _GRAY_W, axes=([2], [0]))
+
+
+def _gray_fp(pixels: np.ndarray) -> np.ndarray:
+    """RGB HxWx3 uint8 -> HxW uint16 grayscale scaled by 256.
+
+    Max value 255*(77+150+29) = 65280 < 2^16, and every per-channel
+    product is <= 150*255 = 38250, so uint16 arithmetic is exact."""
+    g = np.multiply(pixels[:, :, 0], np.uint16(_W_R), dtype=np.uint16)
+    g += np.multiply(pixels[:, :, 1], np.uint16(_W_G), dtype=np.uint16)
+    g += np.multiply(pixels[:, :, 2], np.uint16(_W_B), dtype=np.uint16)
+    return g
 
 
 def _to_gray32(pixels: np.ndarray) -> np.ndarray:
     """RGB HxWx3 uint8 -> 32x32 float grayscale via block-area mean."""
-    return _area_mean_resample(_to_gray(pixels), 32, 32)
+    g = _gray_fp(pixels)
+    return _area_mean_resample_fp(g, _integral_fp(g), 32, 32)
 
 
 def _bin_edges(n: int, bins: int) -> tuple[np.ndarray, np.ndarray]:
@@ -60,6 +81,37 @@ def _integral(g: np.ndarray) -> np.ndarray:
     np.cumsum(g, axis=0, out=csum[1:, 1:])
     np.cumsum(csum[1:, 1:], axis=1, out=csum[1:, 1:])
     return csum
+
+
+def _integral_fp(g: np.ndarray) -> np.ndarray:
+    """Integer integral image of the uint16 fixed-point gray. uint32 when
+    the worst-case total fits (any frame < ~8.2 MP), else int64 — exact
+    either way."""
+    h, w = g.shape
+    dt = np.uint32 if h * w * 65280 < (1 << 32) else np.int64
+    csum = np.zeros((h + 1, w + 1), dtype=dt)
+    np.cumsum(g, axis=0, dtype=dt, out=csum[1:, 1:])
+    np.cumsum(csum[1:, 1:], axis=1, out=csum[1:, 1:])
+    return csum
+
+
+def _area_mean_resample_fp(
+    g: np.ndarray, csum: np.ndarray, out_h: int, out_w: int
+) -> np.ndarray:
+    """Block-area-mean resample from the INTEGER integral image; returns
+    float64 gray values (same scale as `_to_gray`, i.e. divided back by
+    256). The gathers are tiny (out_h+1 x out_w+1), so the int64 casts
+    cost nothing; grouping keeps unsigned intermediates non-negative."""
+    h, w = g.shape
+    y0, y1 = _bin_edges(h, out_h)
+    x0, x1 = _bin_edges(w, out_w)
+    c11 = csum[np.ix_(y1, x1)].astype(np.int64)
+    c01 = csum[np.ix_(y0, x1)].astype(np.int64)
+    c10 = csum[np.ix_(y1, x0)].astype(np.int64)
+    c00 = csum[np.ix_(y0, x0)].astype(np.int64)
+    s = (c11 - c01) - (c10 - c00)
+    area = np.outer(y1 - y0, x1 - x0).astype(np.float64)
+    return s / (area * 256.0)
 
 
 def _area_mean_resample(
@@ -102,7 +154,10 @@ def _phash_from_g32(g32: np.ndarray) -> int:
 
 
 def phash64(pixels: np.ndarray) -> int:
-    """64-bit perceptual hash as a signed int64 (Spark LongType friendly)."""
+    """64-bit perceptual hash as a signed int64 (Spark LongType friendly).
+
+    Gray + area means run in exact fixed-point (see `_gray_fp`); the DCT
+    itself stays float64 on the 32x32 downsample (tiny, cache-resident)."""
     return _phash_from_g32(_to_gray32(pixels))
 
 
@@ -120,20 +175,33 @@ def dhash64(pixels: np.ndarray) -> int:
     downsample) — the standard complement to DCT pHash: dHash keys on
     local edge structure where pHash keys on global low-frequency energy,
     so together they separate near-dup classes neither catches alone."""
-    return _dhash_from_small(_area_mean_resample(_to_gray(pixels), 8, 9))
+    g = _gray_fp(pixels)
+    return _dhash_from_small(_area_mean_resample_fp(g, _integral_fp(g), 8, 9))
 
 
 def gray_features(pixels: np.ndarray) -> tuple[int, int, float, float]:
     """(phash64, dhash64, gray_mean, gray_std) in ONE pass: the RGB->gray
-    tensordot and the integral image are computed once and shared by both
+    conversion and the integral image are computed once and shared by both
     downsamples and the statistics — the per-image hot path of the feature
-    stage (operators/features.py), ~30% cheaper than calling the three
-    derivations separately at 256x192 (each would redo gray + cumsum).
-    Bit-identical to phash64/dhash64: same gray, same integral, same
-    resample arithmetic."""
-    g = _to_gray(pixels)
-    csum = _integral(g)
+    stage (operators/features.py). Bit-identical to phash64/dhash64: same
+    fixed-point gray, same integral, same resample arithmetic.
+
+    All large intermediates are integer (uint16 gray, uint32 integral):
+    exact, deterministic, and ~6x less memory traffic than float64 — the
+    difference between a feature stage that scales with executors and one
+    that saturates the node's memory subsystem (BENCH/BASELINE.md)."""
+    g = _gray_fp(pixels)
+    csum = _integral_fp(g)
     h, w = g.shape
-    ph = _phash_from_g32(_area_mean_resample(g, 32, 32, csum))
-    dh = _dhash_from_small(_area_mean_resample(g, 8, 9, csum))
-    return ph, dh, float(g.mean()), float(g.std())
+    n = h * w
+    ph = _phash_from_g32(_area_mean_resample_fp(g, csum, 32, 32))
+    dh = _dhash_from_small(_area_mean_resample_fp(g, csum, 8, 9))
+    # mean/std from the integral total + one integer sum of squares:
+    # sum(g_fp)^2 <= (2^16)^2 * 8.2e6 < 2^63, exact in int64
+    total = int(csum[-1, -1])
+    sumsq = int(np.einsum("ij,ij->", g, g, dtype=np.int64))
+    mean_fp = total / n
+    var_fp = sumsq / n - mean_fp * mean_fp
+    gmean = mean_fp / 256.0
+    gstd = float(np.sqrt(max(var_fp, 0.0))) / 256.0
+    return ph, dh, gmean, gstd

@@ -82,10 +82,21 @@ def _driver_union_find(
     frame and run union-find on the driver — one job, zero fixpoint
     rounds. 2M edges is ~100 MB of strings on the driver, the same order
     as a broadcast-join build side."""
+    import time as _time
+
+    t0 = _time.time()
     pairs = [(r["u"], r["v"]) for r in e.collect()]
+    t1 = _time.time()
     assign = uf_components(pairs)
+    t2 = _time.time()
     if stats is not None:
-        stats.update(rounds=0, n_input_edges=n_edges, n_star_edges=n_edges)
+        stats.update(
+            rounds=0,
+            n_input_edges=n_edges,
+            n_star_edges=n_edges,
+            collect_sec=round(t1 - t0, 3),
+            uf_sec=round(t2 - t1, 3),
+        )
     spark = e.sparkSession
     n_part = max(2, min(spark.sparkContext.defaultParallelism, len(assign) // 50_000 + 1))
     # Arrow (pandas) conversion + eager checkpoint: every downstream action
@@ -99,11 +110,14 @@ def _driver_union_find(
     pdf = pd.DataFrame(
         list(assign.items()), columns=["image_id", "cluster_id"]
     )
-    return (
+    out = (
         spark.createDataFrame(pdf, "image_id string, cluster_id string")
         .repartition(n_part)
         .localCheckpoint()
     )
+    if stats is not None:
+        stats["materialize_sec"] = round(_time.time() - t2, 3)
+    return out
 
 
 def connected_components(
@@ -154,8 +168,13 @@ def connected_components(
             F.least("src", "dst").alias("u"),
             F.greatest("src", "dst").alias("v"),
         ).filter(F.col("u") != F.col("v"))
+        import time as _time
+
+        t_pre = _time.time()
         n_raw = raw.count()
         if 0 < n_raw <= driver_threshold:
+            if stats is not None:
+                stats["precount_sec"] = round(_time.time() - t_pre, 3)
             return _driver_union_find(raw, n_raw, stats)
     e = _canon(edges)
     if checkpoint:

@@ -66,15 +66,70 @@ class NearDupPipeline:
             if os.path.exists(os.path.join(path, "_SUCCESS")):
                 df = self.spark.read.parquet(path)
                 self._record(stage, "resumed", None, time.time() - t0)
+                self._verify_partition_lineage(stage, path)
                 return df
             df = build()
             df.write.mode("overwrite").parquet(path)
             out = self.spark.read.parquet(path)
             self._record(stage, "complete", out.count(), time.time() - t0)
+            self._write_partition_lineage(stage, path, out)
             return out
         df = build().cache()
         self._record(stage, "complete", df.count(), time.time() - t0)
         return df
+
+    def _write_partition_lineage(self, stage: str, path: str, out: DataFrame) -> None:
+        """Per-PARTITION lineage of the persisted stage (north rule): one
+        row per output parquet file with its row count, written as
+        ``_lineage.json`` inside the stage directory (the leading
+        underscore hides it from Spark's parquet reader, like
+        ``_SUCCESS``). A resume can verify each partition file it reads
+        back against this record, and skew in the persisted stage is
+        observable per-file rather than only as a stage total."""
+        per_file = {
+            os.path.basename(r["file"]): r["rows"]
+            for r in out.groupBy(F.input_file_name().alias("file"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        }
+        # enumerate the directory too: zero-row partition files carry no
+        # rows for the aggregate but are still part of the stage layout
+        rec = sorted(
+            (
+                dict(file=fn, rows=per_file.get(fn, 0))
+                for fn in os.listdir(path)
+                if fn.endswith(".parquet") and not fn.startswith((".", "_"))
+            ),
+            key=lambda d: d["file"],
+        )
+        with open(os.path.join(path, "_lineage.json"), "w") as f:
+            json.dump(dict(stage=stage, run_id=self.cfg.run_id, files=rec), f, indent=2)
+        self.cfg.metrics[-1].update(
+            n_files=len(rec),
+            max_file_rows=max((d["rows"] for d in rec), default=0),
+        )
+
+    def _verify_partition_lineage(self, stage: str, path: str) -> None:
+        """On resume, check the stage directory still holds exactly the
+        partition files the lineage recorded — a truncated/partial copy
+        fails fast instead of silently resuming from missing partitions."""
+        lin_path = os.path.join(path, "_lineage.json")
+        if not os.path.exists(lin_path):
+            return  # stage predates lineage records; nothing to verify
+        with open(lin_path) as f:
+            lin = json.load(f)
+        expected = {d["file"] for d in lin["files"]}
+        actual = {
+            fn for fn in os.listdir(path)
+            if fn.endswith(".parquet") and not fn.startswith((".", "_"))
+        }
+        if expected != actual:
+            raise RuntimeError(
+                f"stage '{stage}' resume: partition files on disk do not "
+                f"match lineage (missing={sorted(expected - actual)[:5]}, "
+                f"unexpected={sorted(actual - expected)[:5]})"
+            )
+        self.cfg.metrics[-1].update(n_files=len(actual), lineage_verified=True)
 
     def _record(self, stage: str, status: str, rows, wall: float) -> None:
         self.cfg.metrics.append(
@@ -114,25 +169,34 @@ class NearDupPipeline:
             # (measured ~2.4x edges wall).
             from concurrent.futures import ThreadPoolExecutor
 
+            sub_walls: dict[str, float] = {}
+
             def build_captions():
+                t = time.time()
                 pairs, star = caption_candidates(
                     features, bucket_cap=self.cfg.bucket_cap
                 )
-                return pairs.localCheckpoint(), star
+                pairs = pairs.localCheckpoint()  # eager: thread wall is real
+                sub_walls["caption_candidates"] = round(time.time() - t, 3)
+                return pairs, star
 
             def build_phash():
+                t = time.time()
                 pairs, star = phash_candidates(
                     features,
                     mode=self.cfg.phash_band_mode,
                     bucket_cap=self.cfg.bucket_cap,
                 )
-                return pairs.localCheckpoint(), star
+                pairs = pairs.localCheckpoint()
+                sub_walls["phash_candidates"] = round(time.time() - t, 3)
+                return pairs, star
 
             with ThreadPoolExecutor(2) as tp:
                 cap_f = tp.submit(build_captions)
                 ph_f = tp.submit(build_phash)
                 cap_pairs, cap_star = cap_f.result()
                 ph_pairs, ph_star = ph_f.result()
+            self._last_sub_walls = sub_walls
             cap_near = verify_caption_pairs(
                 cap_pairs, images, jaccard_threshold=self.cfg.jaccard_threshold
             )
@@ -146,7 +210,12 @@ class NearDupPipeline:
                 .unionByName(ph_near)
             )
 
-        return self._stage("edges", build)
+        out = self._stage("edges", build)
+        sub = getattr(self, "_last_sub_walls", None)
+        if sub:  # candidate-family walls onto the edges metrics row
+            self.cfg.metrics[-1].update(sub)
+            self._last_sub_walls = None
+        return out
 
     def components(self, edges: DataFrame) -> DataFrame:
         cc_stats: dict = {}

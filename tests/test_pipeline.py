@@ -94,6 +94,49 @@ def test_resume_skips_completed_stages(spark, tiny_images, tmp_path):
     assert second["clusters"].count() == n_clusters
 
 
+def test_partition_lineage_written_and_verified(spark, tiny_images, tmp_path):
+    import json as _json
+    import os as _os
+
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path), run_id="r1")
+    pipe = NearDupPipeline(spark, cfg)
+    first = pipe.run(tiny_images)
+    n_feat = first["features"].count()
+
+    # every completed stage wrote a per-partition lineage record whose
+    # per-file rows sum to the stage row count
+    for m in cfg.metrics:
+        lin_path = _os.path.join(str(tmp_path), "r1", m["stage"], "_lineage.json")
+        assert _os.path.exists(lin_path), m["stage"]
+        with open(lin_path) as f:
+            lin = _json.load(f)
+        assert m["n_files"] == len(lin["files"])
+        if m["stage"] == "features":
+            assert sum(d["rows"] for d in lin["files"]) == n_feat
+
+    # resume verifies the partition layout...
+    cfg2 = PipelineConfig(checkpoint_dir=str(tmp_path), run_id="r1")
+    NearDupPipeline(spark, cfg2).run(tiny_images)
+    assert all(m.get("lineage_verified") for m in cfg2.metrics)
+
+    # ...and fails fast when a partition file vanished
+    feat_dir = _os.path.join(str(tmp_path), "r1", "features")
+    victim = next(
+        fn for fn in sorted(_os.listdir(feat_dir)) if fn.endswith(".parquet")
+    )
+    _os.rename(
+        _os.path.join(feat_dir, victim), _os.path.join(feat_dir, victim + ".bak")
+    )
+    try:
+        cfg3 = PipelineConfig(checkpoint_dir=str(tmp_path), run_id="r1")
+        with pytest.raises(RuntimeError, match="lineage"):
+            NearDupPipeline(spark, cfg3).run(tiny_images)
+    finally:
+        _os.rename(
+            _os.path.join(feat_dir, victim + ".bak"), _os.path.join(feat_dir, victim)
+        )
+
+
 def test_empty_input(spark):
     from ordinarydumpdeduplicator_spark.plans.pipeline import (
         NearDupPipeline,
