@@ -47,6 +47,7 @@ def pairs_from_buckets(
     id_col: str = "id",
     bucket_cap: int = DEFAULT_BUCKET_CAP,
     materialize: bool = True,
+    with_band_range: bool = False,
 ) -> DataFrame:
     """(id, band, key) -> candidate edges (src < dst).
 
@@ -97,6 +98,7 @@ def pairs_from_buckets(
             F.col("a.id").alias("src"),
             F.col("b.id").alias("dst"),
             F.lit(False).alias("capped"),
+            F.col("band"),
         )
     )
     p_big = (
@@ -105,12 +107,21 @@ def pairs_from_buckets(
             F.col("mn").alias("src"),
             F.col("id").alias("dst"),
             F.lit(True).alias("capped"),
+            F.col("band"),
         )
     )
+    aggs = [F.max("capped").alias("capped")]
+    if with_band_range:
+        # which band ids produced the pair — lets a caller that unioned
+        # several banding FAMILIES into one frame (disjoint band-id
+        # ranges, see combined_candidates) route each pair to its
+        # family-specific verification without a per-family join chain
+        aggs += [
+            F.min("band").alias("min_band"),
+            F.max("band").alias("max_band"),
+        ]
     return (
-        p_small.unionByName(p_big)
-        .groupBy("src", "dst")
-        .agg(F.max("capped").alias("capped"))
+        p_small.unionByName(p_big).groupBy("src", "dst").agg(*aggs)
     )
 
 
@@ -196,19 +207,25 @@ def _block16(col, k: int):
     return F.shiftright(col, 16 * k).bitwiseAND(F.lit(0xFFFF))
 
 
-def phash_band_rows(reps: DataFrame, mode: str = "c2x16") -> DataFrame:
+def phash_band_rows(
+    reps: DataFrame, mode: str = "c2x16", band_offset: int = 0
+) -> DataFrame:
     """(id, phash) -> (id, band, key) rows.
 
     mode 'c2x16': 6 composite keys from choose(4,2) 16-bit blocks — every
     pair with Hamming <= 2 collides on >= 1 key (scale-safe default).
     mode 'b8x8': 8 single 8-bit blocks — catches Hamming <= 7 but buckets
-    are n/256 (small corpora only)."""
+    are n/256 (small corpora only).
+
+    band_offset shifts the band ids into a range disjoint from the
+    caption MinHash bands so both families can share ONE banded frame
+    (combined_candidates)."""
     p = F.col("phash")
     if mode == "c2x16":
         combos = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
         entries = [
             F.struct(
-                F.lit(ci).alias("band"),
+                F.lit(band_offset + ci).alias("band"),
                 (_block16(p, i) * F.lit(65536) + _block16(p, j)).alias("key"),
             )
             for ci, (i, j) in enumerate(combos)
@@ -216,7 +233,7 @@ def phash_band_rows(reps: DataFrame, mode: str = "c2x16") -> DataFrame:
     elif mode == "b8x8":
         entries = [
             F.struct(
-                F.lit(k).alias("band"),
+                F.lit(band_offset + k).alias("band"),
                 F.shiftright(p, 8 * k).bitwiseAND(F.lit(0xFF)).cast("long").alias("key"),
             )
             for k in range(8)
@@ -241,3 +258,51 @@ def phash_candidates(
         pairs_from_buckets(banded, bucket_cap=bucket_cap, materialize=materialize),
         star,
     )
+
+
+# --------------------------------------------------------- combined chain
+
+# caption MinHash bands occupy ids [0, 64); phash bands start here
+PHASH_BAND_OFFSET = 64
+
+
+def combined_candidates(
+    features: DataFrame,
+    phash_mode: str = "c2x16",
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Both candidate families through ONE banding chain.
+
+    Band rows of the caption MinHash family (band ids < 64) and the phash
+    multi-index family (band ids >= PHASH_BAND_OFFSET) are unioned into a
+    single (id, band, key) frame, so bucket stats, the bucket-frame
+    materialization and the pair self-join each run ONCE over the combined
+    rows instead of twice over half the rows. Per-family candidate
+    semantics are unchanged — band-id ranges are disjoint, so a bucket
+    never mixes families; a pair found by both families carries both
+    flags. Halving the number of shuffle chains removes the fixed
+    per-job/per-exchange costs that dominated the edges stage at small
+    executor counts (BENCH/BASELINE.md) and removes the need to overlap
+    two chains with driver-side threads.
+
+    Returns (pairs, caption_star, phash_star) where pairs has columns
+    (src, dst, capped, from_caption, from_phash)."""
+    cap_reps, cap_star = caption_representatives(features)
+    ph_reps, ph_star = phash_representatives(features)
+    banded = caption_band_rows(cap_reps).unionByName(
+        phash_band_rows(ph_reps, phash_mode, band_offset=PHASH_BAND_OFFSET)
+    )
+    pairs = pairs_from_buckets(
+        banded,
+        bucket_cap=bucket_cap,
+        materialize=materialize,
+        with_band_range=True,
+    ).select(
+        "src",
+        "dst",
+        "capped",
+        (F.col("min_band") < PHASH_BAND_OFFSET).alias("from_caption"),
+        (F.col("max_band") >= PHASH_BAND_OFFSET).alias("from_phash"),
+    )
+    return pairs, cap_star, ph_star

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..operators.connected_components import connected_components
 from ..operators.exact_dedup import exact_edges, readable
 from ..operators.features import extract_features
-from ..operators.lsh import caption_candidates, phash_candidates
+from ..operators.lsh import combined_candidates
 from ..operators.verify import verify_caption_pairs, verify_phash_pairs
 
 
@@ -74,7 +74,15 @@ class NearDupPipeline:
             self._record(stage, "complete", out.count(), time.time() - t0)
             self._write_partition_lineage(stage, path, out)
             return out
-        df = build().cache()
+        # cache-less mode: localCheckpoint, not cache() — the stage output
+        # is materialized eagerly with its lineage CUT, and evicted blocks
+        # spill to disk instead of silently RECOMPUTING the stage (for
+        # features that would re-decode every image; measured as multi-x
+        # slowdowns + run-to-run variance under storage pressure). The
+        # trade: lost executors can't rebuild these blocks — acceptable in
+        # local/bench mode; production runs set checkpoint_dir and get
+        # parquet-backed stages instead.
+        df = build().localCheckpoint()
         self._record(stage, "complete", df.count(), time.time() - t0)
         return df
 
@@ -158,50 +166,38 @@ class NearDupPipeline:
     def edges(self, images: DataFrame, features: DataFrame) -> DataFrame:
         def build() -> DataFrame:
             ex = exact_edges(features)
-            # The two candidate families are INDEPENDENT chains of jobs
-            # (band explode -> bucket stats -> checkpoint -> pair join), so
-            # each builds in its own thread: the Spark scheduler
-            # interleaves their stages and fills the cluster instead of
-            # running two half-idle shuffle chains back to back. The
-            # verify stage stays OUT of this phase — fusing JVM shuffles
-            # with Python UDF stages double-books every core of a
-            # local[n_cores] run with a task thread AND a Python worker
-            # (measured ~2.4x edges wall).
-            from concurrent.futures import ThreadPoolExecutor
-
-            sub_walls: dict[str, float] = {}
-
-            def build_captions():
-                t = time.time()
-                pairs, star = caption_candidates(
-                    features, bucket_cap=self.cfg.bucket_cap
-                )
-                pairs = pairs.localCheckpoint()  # eager: thread wall is real
-                sub_walls["caption_candidates"] = round(time.time() - t, 3)
-                return pairs, star
-
-            def build_phash():
-                t = time.time()
-                pairs, star = phash_candidates(
-                    features,
-                    mode=self.cfg.phash_band_mode,
-                    bucket_cap=self.cfg.bucket_cap,
-                )
-                pairs = pairs.localCheckpoint()
-                sub_walls["phash_candidates"] = round(time.time() - t, 3)
-                return pairs, star
-
-            with ThreadPoolExecutor(2) as tp:
-                cap_f = tp.submit(build_captions)
-                ph_f = tp.submit(build_phash)
-                cap_pairs, cap_star = cap_f.result()
-                ph_pairs, ph_star = ph_f.result()
-            self._last_sub_walls = sub_walls
+            # BOTH candidate families run through one fused banding chain
+            # (operators/lsh.combined_candidates): one band-row union, one
+            # bucket-stats aggregate, one materialization, one pair
+            # self-join. Warm-JVM wall matches two serial per-family
+            # chains (12.5s vs 13.0s at 4x2 executors / 320k rows) while
+            # halving the job count and removing the driver thread pool
+            # the old two-chain design needed to overlap its shuffle
+            # chains. The verify stage stays OUT of the candidate phase —
+            # fusing JVM shuffles with Python UDF stages double-books
+            # every core with a task thread AND a Python worker (measured
+            # ~2.4x edges wall).
+            t0 = time.time()
+            pairs, cap_star, ph_star = combined_candidates(
+                features,
+                phash_mode=self.cfg.phash_band_mode,
+                bucket_cap=self.cfg.bucket_cap,
+            )
+            # eager cut: the pairs frame feeds two family filters below;
+            # without it each filter re-runs the pair self-join
+            pairs = pairs.localCheckpoint()
+            self._last_sub_walls = {
+                "candidates": round(time.time() - t0, 3)
+            }
             cap_near = verify_caption_pairs(
-                cap_pairs, images, jaccard_threshold=self.cfg.jaccard_threshold
+                pairs.filter("from_caption").select("src", "dst"),
+                images,
+                jaccard_threshold=self.cfg.jaccard_threshold,
             )
             ph_near = verify_phash_pairs(
-                ph_pairs, features, hamming_threshold=self.cfg.hamming_threshold
+                pairs.filter("from_phash").select("src", "dst"),
+                features,
+                hamming_threshold=self.cfg.hamming_threshold,
             )
             return (
                 ex.unionByName(cap_star)

@@ -170,3 +170,37 @@ def test_undecodable_and_missing_payloads(spark):
     cl = res["clusters"]
     assert cl.count() == 10
     assert cl.filter("is_dup").count() == 0
+
+
+def test_combined_candidates_match_per_family(spark, small_images):
+    """The fused banding chain (one band-row union, one bucket pass) must
+    produce exactly the per-family candidate pair sets, with correct
+    family flags."""
+    from ordinarydumpdeduplicator_spark.operators.features import (
+        extract_features,
+    )
+    from ordinarydumpdeduplicator_spark.operators.lsh import (
+        caption_candidates,
+        combined_candidates,
+        phash_candidates,
+    )
+
+    feats = extract_features(small_images).localCheckpoint()
+    cap_pairs, cap_star = caption_candidates(feats, materialize=False)
+    ph_pairs, ph_star = phash_candidates(feats, materialize=False)
+    pairs, cstar, pstar = combined_candidates(feats, materialize=False)
+
+    cap_set = {(r.src, r.dst) for r in cap_pairs.collect()}
+    ph_set = {(r.src, r.dst) for r in ph_pairs.collect()}
+    comb = pairs.collect()
+    assert {(r.src, r.dst) for r in comb if r.from_caption} == cap_set
+    assert {(r.src, r.dst) for r in comb if r.from_phash} == ph_set
+    assert {(r.src, r.dst) for r in comb} == cap_set | ph_set
+
+    # star edges pass through unchanged
+    assert cstar.collect() == cap_star.collect() or (
+        {tuple(r) for r in cstar.collect()} == {tuple(r) for r in cap_star.collect()}
+    )
+    assert {tuple(r) for r in pstar.collect()} == {
+        tuple(r) for r in ph_star.collect()
+    }

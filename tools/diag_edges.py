@@ -54,6 +54,10 @@ def main() -> None:
         print(f"[diag] {name}: {t[name]}s", flush=True)
         return out
 
+    from ordinarydumpdeduplicator_spark.operators.lsh import (
+        combined_candidates,
+    )
+
     feats = timed(
         "features", lambda: extract_features(images).localCheckpoint()
     )
@@ -64,6 +68,23 @@ def main() -> None:
     )
     ph = timed(
         "phash_candidates",
+        lambda: phash_candidates(feats)[0].localCheckpoint(),
+    )
+    comb = timed(
+        "combined_candidates",
+        lambda: combined_candidates(feats)[0].localCheckpoint(),
+    )
+    t["n_comb_pairs"] = comb.count()
+    comb2 = timed(
+        "combined_candidates_warm",
+        lambda: combined_candidates(feats)[0].localCheckpoint(),
+    )
+    cap2 = timed(
+        "caption_candidates_warm",
+        lambda: caption_candidates(feats)[0].localCheckpoint(),
+    )
+    ph2 = timed(
+        "phash_candidates_warm",
         lambda: phash_candidates(feats)[0].localCheckpoint(),
     )
     t["n_cap_pairs"] = cap.count()

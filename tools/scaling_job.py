@@ -43,12 +43,47 @@ def main() -> None:
     images = spark.read.parquet(corpus_path)
     n_images = images.count()  # warms FS cache/scan; excluded from timing
 
-    cfg = PipelineConfig()
-    t0 = time.time()
-    res = NearDupPipeline(spark, cfg).run(images)
-    n_assigned = res["clusters"].count()
-    n_dups = res["clusters"].filter("is_dup").count()
-    wall = time.time() - t0
+    def one_pass() -> tuple[float, PipelineConfig, int, int]:
+        cfg = PipelineConfig()
+        t0 = time.time()
+        res = NearDupPipeline(spark, cfg).run(images)
+        n_assigned = res["clusters"].count()
+        n_dups = res["clusters"].filter("is_dup").count()
+        wall = time.time() - t0
+        # drop ALL blocks this pass pinned — the stage caches AND the
+        # localCheckpoint intermediates (bucket frame, candidate pairs,
+        # cc assignment). Without this, repeated passes accumulate
+        # executor storage until eviction/GC pressure makes warm passes
+        # SLOWER than the cold one (measured +20% at 4x2).
+        for df in res.values():
+            try:
+                df.unpersist(blocking=True)
+            except Exception:
+                pass
+        spark.catalog.clearCache()
+        import gc
+
+        gc.collect()  # drop py4j refs so ContextCleaner frees RDD blocks
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
+        return round(wall, 3), cfg, n_assigned, n_dups
+
+    # Warmup pass + measured passes (same convention as bench.py): the
+    # first pipeline pass in a fresh JVM pays one-time session costs —
+    # HotSpot/Janino JIT of every codegen stage shape, Python worker pool
+    # spin-up and imports — measured 3-4x on the candidate chains. A
+    # production ingest service pays those once per executor lifetime, not
+    # per batch, and the JIT wall is ~constant regardless of cluster size,
+    # so a cold one-shot run systematically understates scaling. Steady
+    # state (best measured pass) is the headline; the cold wall is kept in
+    # the JSON alongside.
+    wall_cold, _, n_assigned, n_dups = one_pass()
+    # 3 measured passes, best kept: the sandbox host shows ~2% average CPU
+    # steal with multi-x bursts (hypervisor neighbors), so a single pass
+    # is not a measurement
+    measured = [one_pass() for _ in range(3)]
+    wall, cfg, n2, _ = min(measured, key=lambda m: m[0])
+    assert n2 == n_assigned
 
     out = dict(
         cores=cores,
@@ -56,7 +91,9 @@ def main() -> None:
         n_images=n_images,
         n_assigned=n_assigned,
         n_dup_rows=n_dups,
-        wall_sec=round(wall, 3),
+        wall_sec=wall,
+        wall_sec_cold=wall_cold,
+        wall_sec_passes=[m[0] for m in measured],
         images_per_sec=round(n_images / wall, 1),
         stage_metrics=cfg.metrics,
     )
