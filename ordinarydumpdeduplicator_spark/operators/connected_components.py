@@ -87,8 +87,13 @@ def _driver_union_find(
     t0 = _time.time()
     # Arrow collect: columnar batches from the executors instead of
     # per-row JVM->Python pickling (measured 5.2s -> ~1.5s on 130k rows
-    # across 4 executors)
-    edges_pdf = e.toPandas()
+    # across 4 executors). coalesce first: the edge frame inherits the
+    # union of every upstream branch's partitioning (hundreds of tiny
+    # blocks after the stage checkpoint) and a collect pays per-task
+    # scheduling latency per block — merging reads into one task per
+    # core bounds the job at one wave.
+    n_slots = max(2, e.sparkSession.sparkContext.defaultParallelism)
+    edges_pdf = e.coalesce(n_slots).toPandas()
     pairs = list(zip(edges_pdf["u"], edges_pdf["v"]))
     t1 = _time.time()
     assign = uf_components(pairs)
@@ -96,29 +101,30 @@ def _driver_union_find(
     if stats is not None:
         stats.update(
             rounds=0,
-            n_input_edges=n_edges,
-            n_star_edges=n_edges,
+            n_input_edges=len(pairs),
+            n_star_edges=len(pairs),
             collect_sec=round(t1 - t0, 3),
             uf_sec=round(t2 - t1, 3),
         )
     spark = e.sparkSession
-    n_part = max(2, min(spark.sparkContext.defaultParallelism, len(assign) // 50_000 + 1))
     # Arrow (pandas) conversion + eager checkpoint: every downstream action
     # on the assignment is then JVM-only. The list-of-tuples path keeps a
     # Python parallelize in the lineage, and EACH action on it re-runs
     # Python serialization tasks — measured 5-7s per action at 7k rows in
     # a warm session (which made this "fast path" slower than the fixpoint
-    # it replaces).
+    # it replaces). No repartition: Arrow createDataFrame already slices
+    # into defaultParallelism chunks, and an explicit repartition adds a
+    # full cross-executor shuffle of the assignment frame (measured ~4s
+    # of the cc wall at 4x2 executors) that no consumer needs — the
+    # clusters join broadcasts this frame anyway (plans/pipeline.py).
     import pandas as pd
 
     pdf = pd.DataFrame(
         list(assign.items()), columns=["image_id", "cluster_id"]
     )
-    out = (
-        spark.createDataFrame(pdf, "image_id string, cluster_id string")
-        .repartition(n_part)
-        .localCheckpoint()
-    )
+    out = spark.createDataFrame(
+        pdf, "image_id string, cluster_id string"
+    ).localCheckpoint()
     if stats is not None:
         stats["materialize_sec"] = round(_time.time() - t2, 3)
     return out
@@ -130,6 +136,7 @@ def connected_components(
     checkpoint: bool = True,
     stats: dict | None = None,
     driver_threshold: int = DRIVER_EDGE_THRESHOLD,
+    n_edges_hint: int | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> assignments(image_id, cluster_id).
 
@@ -158,7 +165,13 @@ def connected_components(
     candidate-family thread pool) are unaffected.
 
     ``stats`` (optional dict) receives convergence telemetry:
-    rounds, input edge count, final edge count."""
+    rounds, input edge count, final edge count.
+
+    ``n_edges_hint``: a caller that already materialized + counted the
+    edge frame (the pipeline's edges stage records rows_out) passes the
+    known row count so the small-graph cutover decision costs ZERO jobs —
+    the hint is an upper bound on proper canonical edges (self-loops and
+    duplicates only shrink it), so the cutover stays conservative."""
     spark = edges.sparkSession
     if checkpoint and driver_threshold > 0:
         # Cheap pre-check on the RAW (non-deduplicated) edge frame: a
@@ -175,6 +188,10 @@ def connected_components(
         import time as _time
 
         t_pre = _time.time()
+        if n_edges_hint is not None and 0 < n_edges_hint <= driver_threshold:
+            if stats is not None:
+                stats["precount_sec"] = 0.0
+            return _driver_union_find(raw, n_edges_hint, stats)
         n_raw = raw.count()
         if 0 < n_raw <= driver_threshold:
             if stats is not None:

@@ -215,10 +215,23 @@ class NearDupPipeline:
 
     def components(self, edges: DataFrame) -> DataFrame:
         cc_stats: dict = {}
+        # the edges stage just counted its output — hand the count to the
+        # small-graph cutover so it costs zero extra jobs (on resume the
+        # stage row carries no count and cc falls back to its own precount)
+        edge_rows = next(
+            (
+                m["rows_out"]
+                for m in reversed(self.cfg.metrics)
+                if m["stage"] == "edges"
+            ),
+            None,
+        )
         out = self._stage(
             "cc",
             lambda: connected_components(
-                edges.select("src", "dst"), stats=cc_stats
+                edges.select("src", "dst"),
+                stats=cc_stats,
+                n_edges_hint=edge_rows,
             ),
         )
         if cc_stats:  # convergence telemetry onto the stage metrics row
@@ -228,6 +241,21 @@ class NearDupPipeline:
     def clusters(self, features: DataFrame, assignments: DataFrame) -> DataFrame:
         """Final per-image cluster assignment. Singleton readable images get
         cluster_id = their own id (is_dup = false)."""
+        # assignment rows are bounded by the edge count; when the cc stage
+        # measured them small, broadcast — the corpus-side frame is then
+        # never shuffled or sorted for this join (measured 9.9s -> map-only
+        # at 4x2 executors). Above the bound Catalyst picks the shuffle
+        # join it would need anyway.
+        assign_rows = next(
+            (
+                m["rows_out"]
+                for m in reversed(self.cfg.metrics)
+                if m["stage"] == "cc"
+            ),
+            None,
+        )
+        if assign_rows is not None and assign_rows <= 2_000_000:
+            assignments = F.broadcast(assignments)
 
         def build() -> DataFrame:
             base = readable(features).select("image_id", "size", "sha")
