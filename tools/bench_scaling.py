@@ -167,9 +167,12 @@ def write_report(results: list[dict], n: int, path: str, repeats: int = 2) -> di
         "masters below are `local-cluster[E,C,mem]`, each run has E SEPARATE",
         "executor JVM processes of C cores (own Python worker pools, netty",
         "shuffle between processes) — N executors vs 4N executors literally.",
-        f"Best of {repeats} cold runs per level (complete run records only;",
-        "wall, throughput and the per-stage table always come from the SAME",
-        "run).",
+        f"Best of {repeats} spark-submit invocation(s) per level; within",
+        "each invocation the job runs one warm-up pass (JIT / worker-pool",
+        "spin-up, the cost a long-lived ingest service pays once per",
+        "executor lifetime) then three measured passes, best kept — wall,",
+        "throughput and the per-stage table always come from the SAME pass;",
+        "the cold wall is kept in the raw JSON (`wall_sec_cold`).",
         "",
         "| master | cores | wall (s) | images/sec | clusters rows |",
         "|---|---|---|---|---|",
@@ -284,7 +287,10 @@ def main() -> None:
             for c in sorted(args.cores)
         ]
     summary = write_report(
-        results, args.n, os.path.join(REPO, "BENCH", "BASELINE.md")
+        results,
+        args.n,
+        os.path.join(REPO, "BENCH", "BASELINE.md"),
+        repeats=args.repeats,
     )
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(summary, f, indent=2)
