@@ -204,3 +204,32 @@ def test_combined_candidates_match_per_family(spark, small_images):
     assert {tuple(r) for r in pstar.collect()} == {
         tuple(r) for r in ph_star.collect()
     }
+
+
+def test_cc_precount_skipped_via_edge_count_hint(spark, tiny_images):
+    """The edges stage's measured rows_out flows into cc as n_edges_hint:
+    the small-graph cutover then runs zero pre-check jobs."""
+    cfg = PipelineConfig()
+    pipe = NearDupPipeline(spark, cfg)
+    pipe.run(tiny_images)
+    cc_row = next(m for m in cfg.metrics if m["stage"] == "cc")
+    assert cc_row["precount_sec"] == 0.0
+    assert cc_row["rounds"] == 0  # driver union-find path taken
+
+
+def test_clusters_join_broadcasts_small_assignment(spark, tiny_images):
+    """With a small measured assignment frame, the final clusters join is
+    a broadcast: the feature side is never exchanged for it."""
+    cfg = PipelineConfig()
+    pipe = NearDupPipeline(spark, cfg)
+    feats = pipe.features(tiny_images)
+    edges = pipe.edges(tiny_images, feats)
+    assign = pipe.components(edges)
+    # bypass the stage checkpoint so the join plan stays inspectable
+    # (the checkpointed frame reads back as an ExistingRDD scan)
+    pipe._stage = lambda stage, build: build()
+    df = pipe.clusters(feats, assign)
+    df.collect()
+    joined_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in joined_plan
+    assert "SortMergeJoin" not in joined_plan
