@@ -66,11 +66,19 @@ def incremental_caption_candidates(
     batch-vs-index joins — old-old pairs were already emitted by earlier
     runs, so each pair is discovered exactly once, by the batch that
     completes it. Bucket caps are enforced on the COMBINED bucket size
-    (index + batch), mirroring operators/lsh.pairs_from_buckets: an
-    over-cap bucket emits star edges to the bucket min instead of all
-    pairs. Connectivity (what connected components consumes) is therefore
-    preserved; only the pair enumeration is capped, exactly as in the
-    batch path.
+    (index + batch), mirroring operators/lsh.pairs_from_buckets.
+
+    Per-batch cost shape: the index is only read through a semi join on
+    the batch's band keys (pruned scan, no index-wide shuffle — the old
+    formulation aggregated the ENTIRE index every batch), and over-cap
+    buckets pay O(batch), not O(bucket):
+
+    - a bucket the batch pushes over the cap stars ALL members (old and
+      new) to the combined min — paid once, at the transition;
+    - a bucket that was ALREADY over cap stars only the batch's new
+      members to the combined min, plus one bridge edge old-min -> new
+      min when the min moved, so the star centers chain together. The
+      old members were starred when the bucket first crossed the cap.
 
     Exact-duplicate captions collapse upstream (the caller emits
     caption_exact star edges from caption_sha groups), so the band index
@@ -83,21 +91,55 @@ def incremental_caption_candidates(
             F.posexplode("bands").alias("band", "key"),
         )
     )
-    all_bands = (
-        new_bands if prev_bands is None
-        else prev_bands.unionByName(new_bands)
+    batch_stats = new_bands.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("n_new"), F.min("id").alias("mn_new")
     )
+    if prev_bands is not None:
+        # index members of batch-touched buckets only: semi join on the
+        # batch's (band, key) set — a pruned scan of the index (AQE
+        # broadcasts the batch side when it is small), never an
+        # index-wide aggregate. Checkpoint: three consumers below.
+        old_touched = prev_bands.join(
+            new_bands.select("band", "key").distinct(),
+            ["band", "key"],
+            "left_semi",
+        ).localCheckpoint()
+        prev_stats = old_touched.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("n_old"), F.min("id").alias("mn_old")
+        )
+        stats = batch_stats.join(prev_stats, ["band", "key"], "left")
+    else:
+        old_touched = None
+        stats = batch_stats.select(
+            "band", "key", "n_new", "mn_new",
+            F.lit(None).cast("long").alias("n_old"),
+            F.lit(None).cast("string").alias("mn_old"),
+        )
     stats = (
-        all_bands.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("mn"))
+        stats.select(
+            "band",
+            "key",
+            (F.col("n_new") + F.coalesce("n_old", F.lit(0))).alias("n"),
+            F.least("mn_new", "mn_old").alias("mn"),  # least skips nulls
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            "mn_old",
+        )
         .filter(F.col("n") >= 2)
     )
     nb = new_bands.join(stats, ["band", "key"]).localCheckpoint()
-    ab = all_bands.join(stats, ["band", "key"])
     small_new = nb.filter(F.col("n") <= bucket_cap)
-    small_all = ab.filter(F.col("n") <= bucket_cap).select(
-        "band", "key", F.col("id").alias("other")
+    small_old = (
+        old_touched.join(
+            stats.filter(F.col("n") <= bucket_cap).select("band", "key"),
+            ["band", "key"],
+            "left_semi",
+        ).select("band", "key", F.col("id").alias("other"))
+        if old_touched is not None
+        else None
     )
+    small_all = small_new.select("band", "key", F.col("id").alias("other"))
+    if small_old is not None:
+        small_all = small_all.unionByName(small_old)
     # pair each new member against every bucket member (old or new);
     # least/greatest collapses the doubled new-new direction, the final
     # groupBy collapses multi-band agreement
@@ -110,24 +152,29 @@ def incremental_caption_candidates(
             F.lit(False).alias("capped"),
         )
     )
-    # a bucket the batch pushed over the cap stars ALL members (old AND
-    # new) to the combined-bucket min: the min may be a new id the old
-    # members have no historical edge to, so starring only the new rows
-    # would split the bucket into two components. Over-cap buckets
-    # touched by the batch are few; the broadcast key set keeps this a
-    # pruned scan of the index.
-    big_keys = (
-        nb.filter(F.col("n") > bucket_cap).select("band", "key").distinct()
+    # over-cap buckets: batch members always star to the combined min
+    star_new = (
+        nb.filter((F.col("n") > bucket_cap) & (F.col("id") != F.col("mn")))
+        .select(F.col("mn").alias("src"), F.col("id").alias("dst"))
     )
-    p_big = (
-        ab.join(F.broadcast(big_keys), ["band", "key"])
-        .filter(F.col("id") != F.col("mn"))
-        .select(
-            F.col("mn").alias("src"),
-            F.col("id").alias("dst"),
-            F.lit(True).alias("capped"),
+    p_big = star_new
+    if old_touched is not None:
+        trans_keys = stats.filter(
+            (F.col("n") > bucket_cap) & (F.col("n_old") <= bucket_cap)
+        ).select("band", "key", "mn")
+        star_old_transition = (
+            old_touched.join(trans_keys, ["band", "key"])
+            .filter(F.col("id") != F.col("mn"))
+            .select(F.col("mn").alias("src"), F.col("id").alias("dst"))
         )
-    )
+        bridge = stats.filter(
+            (F.col("n") > bucket_cap)
+            & (F.col("n_old") > bucket_cap)
+            & F.col("mn_old").isNotNull()
+            & (F.col("mn_old") != F.col("mn"))
+        ).select(F.col("mn").alias("src"), F.col("mn_old").alias("dst"))
+        p_big = p_big.unionByName(star_old_transition).unionByName(bridge)
+    p_big = p_big.select("src", "dst", F.lit(True).alias("capped"))
     cands = (
         p_small.unionByName(p_big)
         .groupBy("src", "dst")
@@ -155,11 +202,19 @@ def incremental_caption_run(
       bands   (id, band, key)      LSH band index (reps only)
       assign  (image_id, cluster_id) current assignments
 
-    Matches the batch pipeline exactly (tests pin equality with a full
-    recompute): identical captions collapse to the FIRST-SEEN rep (new
-    shas use the batch-min id), only new reps add band rows, candidates
-    touch at least one new rep, and only affected components re-cluster
-    (operators/connected_components.incremental_clusters)."""
+    Matches the batch pipeline exactly while no bucket crosses the cap
+    (tests pin equality with a full recompute on sub-cap corpora):
+    identical captions collapse to the FIRST-SEEN rep (new shas use the
+    batch-min id), only new reps add band rows, candidates touch at
+    least one new rep, and only affected components re-cluster
+    (operators/connected_components.incremental_clusters). Buckets that
+    cross ``bucket_cap`` make the CANDIDATE enumeration arrival-order
+    dependent (a bucket capped mid-history keeps the all-pairs
+    candidates its earlier, smaller self emitted; a one-shot recompute
+    caps them all) — verification still gates every candidate, so the
+    difference is bounded recall variation on capped buckets, never a
+    false merge. The batch path has the same property across re-runs
+    with different batch splits."""
     from ..operators.connected_components import (
         connected_components,
         incremental_clusters,
@@ -221,6 +276,13 @@ def incremental_caption_run(
     )
     assign = assign.localCheckpoint()
     new_reps = resolved.filter("is_new_rep").select("caption_sha", "rep")
+    # delta outputs are materialized (they are what persistent callers
+    # write); the cumulative reps/bands unions stay LAZY — a streaming
+    # caller reloads state from its tables each batch and would otherwise
+    # pay an O(corpus) re-materialization per micro-batch for frames it
+    # discards. Batch callers that thread the dict forward chain cheap
+    # unions over already-materialized deltas.
+    new_band_rows = new_band_rows.localCheckpoint()
     reps = (
         new_reps if prev_reps is None else prev_reps.unionByName(new_reps)
     )
@@ -228,12 +290,11 @@ def incremental_caption_run(
         new_band_rows if prev_bands is None
         else prev_bands.unionByName(new_band_rows)
     )
-    new_band_rows = new_band_rows.localCheckpoint()
     return dict(
         assign=assign,
-        reps=reps.localCheckpoint(),
-        bands=bands.localCheckpoint(),
-        new_reps=new_reps.localCheckpoint(),
+        reps=reps,
+        bands=bands,
+        new_reps=new_reps,
         new_bands=new_band_rows,
         edges=new_edges,
     )

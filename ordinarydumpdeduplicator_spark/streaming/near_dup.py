@@ -12,23 +12,35 @@ State between batches lives in parquet tables under ``state_dir`` (in
 production: Iceberg tables, with the assignment overwrite becoming a
 MERGE by cluster_id — sources/merge.py):
 
-    captions/   (image_id, caption)      append-only; verify joins both
-                                         endpoints by id, old or new
-    reps/       (caption_sha, rep)       append-only first-seen rep index
-    bands/      (id, band, key)          append-only LSH band index
-    assign/     (image_id, cluster_id)   overwritten per batch (compact)
+    captions/epoch=N/  (image_id, caption)      one dir per micro-batch
+    reps/epoch=N/      (caption_sha, rep)       first-seen rep index delta
+    bands/epoch=N/     (id, band, key)          LSH band index delta
+    assign/epoch=N/    (image_id, cluster_id)   FULL snapshot; superseded
+                                                epochs pruned after commit
 
-Replay safety: a crashed batch may be re-run by the stream, so the
-append-only tables are read through ``distinct()`` — every row is
-naturally unique per (batch x content), making re-appends idempotent.
-The assignment table is only overwritten AFTER incremental_caption_run
-materializes its outputs (localCheckpoint), so the read-then-overwrite
-cycle never reads a half-written table.
+Replay safety — EVERY write is keyed by the stream's epoch id and uses
+mode("overwrite") on that epoch's own directory, so a crashed batch that
+Structured Streaming replays (same epoch id) rewrites exactly its own
+state and nothing else:
+
+- a crash mid-write leaves a partial ``epoch=N`` dir; the loader only
+  reads committed (``_SUCCESS``-marked) epochs STRICTLY BELOW the
+  current epoch id, so partials of the replayed batch are invisible;
+- a crash between the reps write and the bands write cannot strand the
+  index: the replay overwrites both epoch dirs together (the old
+  append-mode layout could permanently lose a batch's band rows);
+- the assignment is a full snapshot per epoch; older snapshots are
+  pruned only after the current epoch's snapshot is committed.
+
+The state dir and the stream checkpoint dir form one unit — restarting
+with a fresh checkpoint against an existing state dir (or vice versa)
+breaks the epoch alignment this protocol relies on.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -36,11 +48,45 @@ from ..operators.features import extract_features
 from ..plans.incremental import incremental_caption_run
 from .inspection import read_image_stream
 
+CAPTIONS_SCHEMA = "image_id string, caption string"
+REPS_SCHEMA = "caption_sha string, rep string"
+BANDS_SCHEMA = "id string, band int, key long"
+ASSIGN_SCHEMA = "image_id string, cluster_id string"
 
-def _load(spark: SparkSession, path: str, schema: str) -> DataFrame | None:
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return spark.read.schema(schema).parquet(path).distinct()
-    return None
+
+def _committed_epochs(base: str, below: int | None = None) -> list[tuple[int, str]]:
+    """(epoch, path) of committed epoch dirs, ascending; optionally only
+    epochs strictly below ``below`` (excludes a replayed batch's partials)."""
+    if not os.path.isdir(base):
+        return []
+    out = []
+    for d in os.listdir(base):
+        if not d.startswith("epoch="):
+            continue
+        e = int(d.split("=", 1)[1])
+        if below is not None and e >= below:
+            continue
+        p = os.path.join(base, d)
+        if os.path.exists(os.path.join(p, "_SUCCESS")):
+            out.append((e, p))
+    return sorted(out)
+
+
+def _load_union(
+    spark: SparkSession, base: str, schema: str, below: int
+) -> DataFrame | None:
+    dirs = [p for _, p in _committed_epochs(base, below)]
+    if not dirs:
+        return None
+    return spark.read.schema(schema).parquet(*dirs)
+
+
+def load_assignments(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """The latest committed assignment snapshot (None before any batch)."""
+    epochs = _committed_epochs(os.path.join(state_dir, "assign"))
+    if not epochs:
+        return None
+    return spark.read.schema(ASSIGN_SCHEMA).parquet(epochs[-1][1])
 
 
 def stream_near_dup_clusters(
@@ -54,8 +100,10 @@ def stream_near_dup_clusters(
 ):
     """Start the streaming near-dup clustering query.
 
-    Returns the StreamingQuery; after it finishes (availableNow) the
-    current assignment table is at ``{state_dir}/assign``."""
+    Returns the StreamingQuery; after it finishes (availableNow) read the
+    current assignments with ``load_assignments(spark, state_dir)`` (or
+    ``spark.read.parquet(f"{state_dir}/assign")`` — pruning leaves only
+    the latest committed snapshot)."""
     captions_path = os.path.join(state_dir, "captions")
     reps_path = os.path.join(state_dir, "reps")
     bands_path = os.path.join(state_dir, "bands")
@@ -63,17 +111,23 @@ def stream_near_dup_clusters(
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        batch_df.select("image_id", "caption").write.mode("append").parquet(
-            captions_path
+        epoch = f"epoch={batch_id}"
+        batch_df.select("image_id", "caption").write.mode("overwrite").parquet(
+            os.path.join(captions_path, epoch)
         )
-        corpus_captions = (
-            s.read.schema("image_id string, caption string")
-            .parquet(captions_path)
-            .distinct()
+        # verify joins captions for BOTH endpoints: prior epochs + this one
+        prior = [p for _, p in _committed_epochs(captions_path, batch_id)]
+        corpus_captions = s.read.schema(CAPTIONS_SCHEMA).parquet(
+            *(prior + [os.path.join(captions_path, epoch)])
         )
-        reps = _load(s, reps_path, "caption_sha string, rep string")
-        bands = _load(s, bands_path, "id string, band int, key long")
-        assign = _load(s, assign_path, "image_id string, cluster_id string")
+        reps = _load_union(s, reps_path, REPS_SCHEMA, batch_id)
+        bands = _load_union(s, bands_path, BANDS_SCHEMA, batch_id)
+        assign_epochs = _committed_epochs(assign_path, batch_id)
+        assign = (
+            s.read.schema(ASSIGN_SCHEMA).parquet(assign_epochs[-1][1])
+            if assign_epochs
+            else None
+        )
         state = (
             dict(reps=reps, bands=bands, assign=assign)
             if assign is not None
@@ -87,10 +141,19 @@ def stream_near_dup_clusters(
             jaccard_threshold=jaccard_threshold,
         )
         # outputs are localCheckpoint-materialized inside the run, so the
-        # overwrite below cannot invalidate what it was computed from
-        out["new_reps"].write.mode("append").parquet(reps_path)
-        out["new_bands"].write.mode("append").parquet(bands_path)
-        out["assign"].write.mode("overwrite").parquet(assign_path)
+        # writes below cannot invalidate what they were computed from
+        out["new_reps"].write.mode("overwrite").parquet(
+            os.path.join(reps_path, epoch)
+        )
+        out["new_bands"].write.mode("overwrite").parquet(
+            os.path.join(bands_path, epoch)
+        )
+        out["assign"].write.mode("overwrite").parquet(
+            os.path.join(assign_path, epoch)
+        )
+        # prune superseded snapshots — only after this epoch committed
+        for _, p in assign_epochs:
+            shutil.rmtree(p, ignore_errors=True)
 
     writer = (
         read_image_stream(spark, input_path)

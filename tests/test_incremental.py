@@ -125,3 +125,54 @@ def test_incremental_caption_run_equals_batch(spark, tiny_corpus):
     # band index holds one row-set per distinct caption rep, never members
     n_reps = s2["reps"].count()
     assert s2["bands"].select("id").distinct().count() <= n_reps
+
+
+def test_incremental_capped_bucket_delta_preserves_connectivity(spark):
+    """Over-cap buckets: the transition batch stars ALL members once;
+    later batches star only their new members (plus a min-bridge), and
+    the resulting connectivity equals the batch path's star set."""
+    from ordinarydumpdeduplicator_spark.plans.incremental import (
+        incremental_caption_candidates,
+    )
+
+    def feats(ids):
+        return spark.createDataFrame(
+            [(i, [1]) for i in ids], "image_id string, bands array<long>"
+        )
+
+    cap = 2
+    # batch 1 pushes the bucket straight over the cap -> full star to 'a'
+    c1, bands1 = incremental_caption_candidates(
+        feats(["a", "b", "c"]), None, bucket_cap=cap
+    )
+    got1 = {(r.src, r.dst) for r in c1.collect()}
+    assert got1 == {("a", "b"), ("a", "c")}
+
+    # batch 2: already-over bucket -> only new members star to the min
+    c2, _ = incremental_caption_candidates(
+        feats(["d", "e"]), bands1.localCheckpoint(), bucket_cap=cap
+    )
+    got2 = {(r.src, r.dst) for r in c2.collect()}
+    assert got2 == {("a", "d"), ("a", "e")}
+
+    # batch 3 brings a NEW bucket minimum: new members star to it and a
+    # bridge edge chains the old star center to the new one
+    all_bands = bands1.unionByName(
+        feats(["d", "e"]).select(
+            "image_id", "bands"
+        ).selectExpr("image_id as id", "posexplode(bands) as (band, key)")
+    )
+    c3, _ = incremental_caption_candidates(
+        feats(["_aa"]), all_bands.localCheckpoint(), bucket_cap=cap
+    )
+    got3 = {(r.src, r.dst) for r in c3.collect()}
+    assert got3 == {("_aa", "a")}  # bridge only: _aa is the sole new member
+
+    # union of all batches connects every member into one component,
+    # exactly like the batch path's one-shot star set
+    from ordinarydumpdeduplicator_spark.operators.connected_components import (
+        uf_components,
+    )
+
+    comp = uf_components(sorted(got1 | got2 | got3))
+    assert len(set(comp.values())) == 1

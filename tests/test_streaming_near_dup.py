@@ -58,3 +58,54 @@ def test_stream_near_dup_matches_batch(spark, tiny_corpus, tmp_path):
     run_once()
     after = _assign_dict(spark.read.parquet(os.path.join(state, "assign")))
     assert after == before
+
+
+def test_replayed_epoch_overwrites_partial_state(spark, tiny_corpus, tmp_path):
+    """Crash protocol: a batch that died mid-write leaves partial epoch
+    dirs; Structured Streaming replays the SAME batch id, and every state
+    write is an overwrite of that epoch's own directory — so the partial
+    state is healed, never appended to."""
+    import shutil
+
+    pdf, _ = tiny_corpus
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    os.makedirs(inp, exist_ok=True)
+
+    to_spark_images(spark, pdf.iloc[:120]).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    stream_near_dup_clusters(spark, inp, state, ck).awaitTermination()
+
+    # simulate batch 1 crashing after its reps write "completed" with
+    # garbage (worst case: committed-looking partial state for the epoch
+    # the stream will replay)
+    poisoned = os.path.join(state, "reps", "epoch=1")
+    spark.createDataFrame(
+        [("deadbeef", "bogus_rep")], "caption_sha string, rep string"
+    ).write.mode("overwrite").parquet(poisoned)
+    assert os.path.exists(os.path.join(poisoned, "_SUCCESS"))
+
+    to_spark_images(spark, pdf.iloc[120:]).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    stream_near_dup_clusters(spark, inp, state, ck).awaitTermination()
+
+    # the replayed epoch rewrote its reps dir: the poison row is gone
+    reps = spark.read.parquet(os.path.join(state, "reps"))
+    assert reps.filter("caption_sha = 'deadbeef'").count() == 0
+
+    # and the final assignment equals the batch-pipeline reference
+    full_images = to_spark_images(spark, pdf)
+    feats = extract_features(full_images).cache()
+    pairs, star = caption_candidates(feats, bucket_cap=256)
+    near = verify_caption_pairs(pairs, full_images)
+    ref = connected_components(
+        star.select("src", "dst").unionByName(near.select("src", "dst"))
+    )
+    from ordinarydumpdeduplicator_spark.streaming.near_dup import (
+        load_assignments,
+    )
+
+    assert _assign_dict(load_assignments(spark, state)) == _assign_dict(ref)
