@@ -223,15 +223,28 @@ def band_sketch(
     )
 
 
-def _banded_rows(sk: DataFrame, bucket_cap: int) -> DataFrame:
-    """Explode per-band keys to (vec_id, vec, band, key) rows and drop
-    over-full buckets."""
-    return _cap_buckets(
-        sk.select(
-            "vec_id", "vec", F.posexplode("keys").alias("band", "key")
-        ),
-        bucket_cap,
-    )
+def _banded_rows_materialized(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int,
+    bands: int,
+    id_col: str,
+    vec_col: str,
+    bucket_cap: int,
+) -> DataFrame:
+    """SKINNY capped band rows (vec_id, band, key), eagerly materialized.
+
+    The band frame feeds both sides of the candidate self-join; without a
+    cut, Catalyst evaluates the sketch UDF chain once per side (the two
+    sides' plans canonicalize differently, so AQE cannot reuse the
+    exchange) — the Python sketch and the bucket-stats aggregate ran
+    TWICE. Vectors are NOT carried through the banding shuffle: the
+    candidate pairs re-join them by id (bounded by candidate count), the
+    same pull-columns-by-id shape as operators/verify.py."""
+    rows = band_sketch(
+        embeddings, dim, n_planes, bands, id_col, vec_col
+    ).select("vec_id", F.posexplode("keys").alias("band", "key"))
+    return _cap_buckets(rows, bucket_cap).localCheckpoint()
 
 
 def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 8, seed: int = 7) -> np.ndarray:
@@ -378,22 +391,34 @@ def lsh_topk(
     (tests/test_ann_recall.py) while 256 keys per band keep buckets
     ~corpus/256 — coarser 4-bit bands have the same recall but
     corpus/16 buckets, whose candidate join blows up at 10^5+ rows."""
-    banded = _banded_rows(
-        band_sketch(embeddings, dim, n_planes, bands, id_col, vec_col),
-        bucket_cap,
+    banded = _banded_rows_materialized(
+        embeddings, dim, n_planes, bands, id_col, vec_col, bucket_cap
     )
     a = banded.alias("a")
     b = banded.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("vec").alias("vec_b"),
-        "band",
-        "key",
+        F.col("vec_id").alias("neighbor_id"), "band", "key"
     ).alias("b")
-    cands = (
+    ids = (
         a.join(b, ["band", "key"])
         .where(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "vec", "neighbor_id", "vec_b")
+        .select("vec_id", "neighbor_id")
         .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    # spread the candidate pairs BEFORE the exact-cosine stage: AQE
+    # coalesces the small dedup output to ~1 partition, which would run
+    # the per-pair cosine expression serially (measured 3s -> 0.3s on
+    # 143k pairs) — same pattern as operators/verify.verify_caption_pairs
+    ids = ids.repartition(
+        ids.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    cands = ids.join(vecs, "vec_id").join(
+        vecs.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("vec_b")
+        ),
+        "neighbor_id",
     )
     scored = with_cosine(cands, "vec", "vec_b")
     w = Window.partitionBy("vec_id").orderBy(
@@ -445,19 +470,31 @@ def embedding_near_pairs_lsh(
     positives by construction). 8 bands x 8 bits — same recall/bucket
     rationale as lsh_topk; the verify filter mirrors the caption
     LSH+verify shape."""
-    banded = _banded_rows(
-        band_sketch(embeddings, dim, n_planes, bands, id_col, vec_col),
-        bucket_cap,
+    banded = _banded_rows_materialized(
+        embeddings, dim, n_planes, bands, id_col, vec_col, bucket_cap
     )
     a = banded.alias("a")
     b = banded.select(
-        F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("vec_b"), "band", "key"
+        F.col("vec_id").alias("vec_id_b"), "band", "key"
     ).alias("b")
-    cands = (
+    ids = (
         a.join(b, ["band", "key"])
         .where(F.col("vec_id") < F.col("vec_id_b"))
-        .select(F.col("vec_id").alias("vec_id_a"), "vec", "vec_id_b", "vec_b")
+        .select(F.col("vec_id").alias("vec_id_a"), "vec_id_b")
         .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    # parallelize the exact-cosine verify (see lsh_topk)
+    ids = ids.repartition(
+        ids.sparkSession.sparkContext.defaultParallelism, "vec_id_a"
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("vec")
+    )
+    cands = ids.join(vecs, "vec_id_a").join(
+        embeddings.select(
+            F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vec_b")
+        ),
+        "vec_id_b",
     )
     return (
         with_cosine(cands, "vec", "vec_b")
