@@ -88,6 +88,23 @@ def main() -> None:
     # signature annotations, which pandas_udf cannot resolve here
     _warm = F.pandas_udf(lambda v: v, T.LongType())
     spark.range(100000).select(F.sum(_warm("id"))).collect()
+    # JIT the codegen shapes the queries share (sha2 expression, shuffle
+    # exchange + shuffled hash join, hash aggregate, window sort/rank) on
+    # synthetic rows — first-plan Janino/HotSpot compilation is a
+    # once-per-executor-lifetime cost, not a per-query cost
+    wr = spark.range(200000).select(
+        "id", F.sha2(F.col("id").cast("string"), 256).alias("k")
+    ).repartition("k")
+    wg = wr.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    wr.join(wg.hint("shuffle_hash"), "k").select(F.sum("n")).collect()
+    from pyspark.sql import Window
+
+    ww = Window.partitionBy(F.pmod(F.col("id"), F.lit(97))).orderBy(
+        F.col("id").desc()
+    )
+    spark.range(100000).withColumn(
+        "rn", F.row_number().over(ww)
+    ).filter("rn <= 3").count()
     for t in ("documents", "embeddings", "events", "lineitem", "orders"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
