@@ -8,7 +8,8 @@ stage writes a parquet table under ``checkpoint_dir`` and is SKIPPED if its
 ``_SUCCESS`` marker exists (idempotent, resumable mid-pipeline), with one
 metrics row per stage (rows_out, wall seconds) — the north rule's
 "per-partition lineage + metrics" requirement. In a production deployment
-the same writes target Iceberg tables (sources/iceberg.py).
+the same writes target Iceberg tables (sources/catalog.py gates the
+format on classpath; sources/merge.py renders the row-level commits).
 
 Stages:
     features   one pass over `bytes` -> compact features (operators/features)
