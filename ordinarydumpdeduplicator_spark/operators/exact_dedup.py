@@ -68,3 +68,33 @@ def exact_edges(features: DataFrame) -> DataFrame:
             F.lit("exact").alias("kind"),
         )
     )
+
+
+def pixel_exact_edges(features: DataFrame) -> DataFrame:
+    """Star edges for CONTAINER-INSENSITIVE exact duplicates: groups keyed
+    by (w_actual, h_actual, pixel_sha) over the decoded pixel buffer.
+
+    Catches what the byte key (size, sha) cannot: the same pixels stored
+    in different lossless containers (png vs bmp) or with different
+    encoder metadata. No reference analogue — the reference only ever
+    hashes raw bytes (Common/FsUtils.cs:39-54); for an image corpus the
+    pixel identity is the operationally useful exact key. Same
+    hash-agg + equi-join shape as exact_clusters (no sort on the key)."""
+    rows = features.filter(F.col("pixel_sha").isNotNull()).select(
+        "image_id", "w_actual", "h_actual", "pixel_sha"
+    ).repartition("w_actual", "h_actual", "pixel_sha")
+    key = ["w_actual", "h_actual", "pixel_sha"]
+    groups = (
+        rows.groupBy(*key)
+        .agg(F.min("image_id").alias("mn"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return (
+        rows.join(groups.hint("shuffle_hash"), key)
+        .filter(F.col("image_id") != F.col("mn"))
+        .select(
+            F.col("mn").alias("src"),
+            F.col("image_id").alias("dst"),
+            F.lit("pixel_exact").alias("kind"),
+        )
+    )

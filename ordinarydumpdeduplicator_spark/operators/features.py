@@ -12,6 +12,9 @@ reads each Arrow batch of rows once and emits a *compact* feature row
   excluded by the ``size >= 0`` guard (DataControllerSimple.cs:263-275).
   Empty payloads keep ``size=0`` + the canonical empty-content sha, so all
   empties form one REAL duplicate group (Common/BlobInfo.cs:44-51).
+- ``pixel_sha``: sha256 of the DECODED pixel buffer — container-
+  insensitive content identity (png vs bmp of the same pixels are
+  byte-distinct but pixel-identical); NULL when undecodable.
 - ``phash_v``: DCT perceptual hash recomputed from decoded pixels
   (verifies the input ``phash`` column); NULL when undecodable.
 - ``dhash_v``: row-gradient difference hash — the standard pHash
@@ -48,7 +51,8 @@ from ..functions.text import shingle_hash64, tokens
 
 FEATURES_SCHEMA = (
     "image_id string, size bigint, sha string, status string, "
-    "w_actual int, h_actual int, phash_v bigint, dhash_v bigint, "
+    "w_actual int, h_actual int, pixel_sha string, "
+    "phash_v bigint, dhash_v bigint, "
     "gray_mean double, gray_std double, "
     "caption_sha string, simhash bigint, minhash array<bigint>, "
     "bands array<bigint>"
@@ -148,6 +152,7 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         "status": ["ok"] * n,
         "w_actual": np.zeros(n, dtype=np.int32),
         "h_actual": np.zeros(n, dtype=np.int32),
+        "pixel_sha": [None] * n,
         "phash_v": [None] * n,
         "dhash_v": [None] * n,
         "gray_mean": [None] * n,
@@ -175,6 +180,14 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             out["status"][i] = "undecodable"  # pixel features unavailable
             continue
         out["h_actual"][i], out["w_actual"][i] = pixels.shape[0], pixels.shape[1]
+        # container-insensitive content identity: sha over the DECODED
+        # pixel buffer. Same pixels in different lossless containers
+        # (png vs bmp) are byte-distinct but pixel-identical — the byte
+        # sha misses that dup class entirely. The buffer embeds shape via
+        # the grouping key (w_actual, h_actual, pixel_sha).
+        out["pixel_sha"][i] = hashlib.sha256(
+            np.ascontiguousarray(pixels).tobytes()
+        ).hexdigest()
         # one gray conversion + one integral image shared by phash, dhash
         # and the statistics (functions/phash.gray_features)
         ph, dh, gmean, gstd = gray_features(pixels)

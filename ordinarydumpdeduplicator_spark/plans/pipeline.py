@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.connected_components import connected_components
-from ..operators.exact_dedup import exact_edges, readable
+from ..operators.exact_dedup import exact_edges, pixel_exact_edges, readable
 from ..operators.features import extract_features
 from ..operators.lsh import combined_candidates
 from ..operators.verify import verify_caption_pairs, verify_phash_pairs
@@ -167,6 +167,7 @@ class NearDupPipeline:
     def edges(self, images: DataFrame, features: DataFrame) -> DataFrame:
         def build() -> DataFrame:
             ex = exact_edges(features)
+            px = pixel_exact_edges(features)
             # BOTH candidate families run through one fused banding chain
             # (operators/lsh.combined_candidates): one band-row union, one
             # bucket-stats aggregate, one materialization, one pair
@@ -201,7 +202,8 @@ class NearDupPipeline:
                 hamming_threshold=self.cfg.hamming_threshold,
             )
             return (
-                ex.unionByName(cap_star)
+                ex.unionByName(px)
+                .unionByName(cap_star)
                 .unionByName(ph_star)
                 .unionByName(cap_near)
                 .unionByName(ph_near)

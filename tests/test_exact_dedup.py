@@ -101,3 +101,43 @@ def test_features_verify_input_phash(spark, tiny_corpus, tiny_images):
         (F.col("size") > 0) & (F.col("phash_v") != F.col("phash"))
     ).count()
     assert mismatches == 0
+
+
+def test_pixel_exact_edges_cross_container(spark):
+    """The same pixels encoded as png and bmp are byte-distinct (the
+    (size, sha) key misses them) but pixel-identical: pixel_exact_edges
+    links them; the full pipeline then clusters them together."""
+    import numpy as np
+
+    from ordinarydumpdeduplicator_spark.fixtures import codecs
+    from ordinarydumpdeduplicator_spark.operators.exact_dedup import (
+        pixel_exact_edges,
+    )
+    from ordinarydumpdeduplicator_spark.plans.pipeline import (
+        NearDupPipeline,
+        PipelineConfig,
+    )
+    from ordinarydumpdeduplicator_spark.schemas import IMAGES_SCHEMA
+
+    rng = np.random.default_rng(9)
+    px_a = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    px_b = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    rows = [
+        ("i_png", bytearray(codecs.encode_png(px_a)), 32, 24, "png", "one", 0),
+        ("i_bmp", bytearray(codecs.encode_bmp(px_a)), 32, 24, "bmp", "two", 0),
+        ("i_other", bytearray(codecs.encode_png(px_b)), 32, 24, "png", "three", 0),
+    ]
+    images = spark.createDataFrame(rows, schema=IMAGES_SCHEMA)
+    feats = extract_features(images).cache()
+
+    # byte key separates them...
+    assert exact_edges(feats).count() == 0
+    # ...the pixel key links exactly the cross-container pair
+    px_edges = {(r.src, r.dst) for r in pixel_exact_edges(feats).collect()}
+    assert px_edges == {("i_bmp", "i_png")}
+
+    # end to end: one cluster for the pair, the unrelated image alone
+    res = NearDupPipeline(spark, PipelineConfig()).run(images)
+    cl = {r.image_id: r.cluster_id for r in res["clusters"].collect()}
+    assert cl["i_png"] == cl["i_bmp"]
+    assert cl["i_other"] != cl["i_png"]
