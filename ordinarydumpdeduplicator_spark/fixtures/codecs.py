@@ -181,16 +181,27 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
 
 
 def decode(data: bytes | None) -> np.ndarray:
-    """Decode any supported payload; raise ValueError if unreadable."""
+    """Decode any supported payload; raise ValueError if unreadable.
+
+    The ValueError contract holds for ANY malformed payload, including
+    ones with a valid magic but a corrupt body — zlib/struct/numpy errors
+    from the per-format decoders are normalized here so per-row callers
+    (operators/features.py, operators/multimodal.py) can mark the row
+    unreadable instead of failing the whole task."""
     if data is None or len(data) == 0:
         raise ValueError("empty payload")
     head = bytes(data[:8])
-    if head[:2] == b"BM":
-        return decode_bmp(bytes(data))
-    if head[:4] == b"\x89PNG":
-        return decode_png(bytes(data))
-    if head[:4] == LJPG_MAGIC:
-        return decode_ljpg(bytes(data))
+    try:
+        if head[:2] == b"BM":
+            return decode_bmp(bytes(data))
+        if head[:4] == b"\x89PNG":
+            return decode_png(bytes(data))
+        if head[:4] == LJPG_MAGIC:
+            return decode_ljpg(bytes(data))
+    except ValueError:
+        raise
+    except Exception as exc:  # zlib.error, struct.error, numpy reshape...
+        raise ValueError(f"corrupt payload: {exc}") from exc
     raise ValueError("unknown format")
 
 

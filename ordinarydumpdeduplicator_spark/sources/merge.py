@@ -15,8 +15,9 @@ module makes that claim executable rather than prose:
   equi-join, clause selection via a when-chain), for parquet-backed
   tables without row-level-op support — and as the local test harness
   proving the generated SQL's semantics: first-matching-clause wins,
-  source-cardinality violations raise (Iceberg's multiple-matches
-  error), unmatched target rows pass through.
+  multiple source matches for ONE TARGET ROW raise (Iceberg's
+  cardinality error; duplicate source keys matching no target row are
+  legal and insert per-row), unmatched target rows pass through.
 - ``members_merge_spec`` — the concrete spec for committing an actions
   frame into a members table; ``execute_merge`` of it is equality-tested
   against ``operators.actions.maintain_members`` (tests/test_merge.py).
@@ -85,10 +86,14 @@ def execute_merge(
     one target row raises (the engine cannot pick which update applies);
     a matched row that satisfies no clause passes through unchanged."""
     keys = spec.on
+    # Iceberg's cardinality rule: an error only when ONE TARGET ROW has
+    # multiple source matches. Duplicate source keys that match no target
+    # row are legal — WHEN NOT MATCHED inserts each of them.
     dup = (
         source.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > 1)
+        .join(target.select(*keys), keys, "left_semi")
         .limit(1)
         .count()
     )

@@ -72,36 +72,42 @@ def stream_inspections(
     runs_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
-    location_col: str | None = None,
+    location_expr: F.Column | None = None,
 ):
     """foreachBatch incremental inspection: micro-batch -> one inspection.
 
-    Appends (image_id, run_id, size, sha, status, location, sort) state rows
+    Writes (image_id, run_id, size, sha, status, location, sort) state rows
     and one runs row per batch; run ids embed the batch id so run order is
-    the batch order. The appended tables feed operators/states.py
+    the batch order. The tables feed operators/states.py
     (latest_runs / derive_status / detect_moved) unchanged.
+
+    ``location_expr``: optional Column expression over the FEATURES frame
+    (image_id, size, sha, status, ...) producing the state row's location;
+    default ``ingest/<image_id>``. (The streaming source schema is the
+    fixed IMAGES_SCHEMA, so there is no input column it could name — hence
+    an expression, not a column name.)
+
+    Replay safety: each table write is an overwrite of the stream epoch's
+    own ``epoch=<batch_id>`` subdirectory (same protocol as
+    streaming/near_dup.py) — a plain parquet append inside foreachBatch is
+    only at-least-once, and a replayed batch would duplicate its state and
+    runs rows. Readers of the root path see the extra ``epoch`` partition
+    column, which the states operators ignore.
     """
+    from ..plans.incremental import run_states
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         run_id = f"inspection_{batch_id:09d}"
         feats = extract_features(batch_df)
         loc = (
-            F.col(location_col)
-            if location_col
+            location_expr
+            if location_expr is not None
             else F.concat(F.lit("ingest/"), F.col("image_id"))
         )
-        states = feats.select(
-            "image_id",
-            F.lit(run_id).alias("run_id"),
-            "size",
-            F.unhex("sha").alias("sha"),
-            F.when(F.col("status") != "ok", F.col("status"))
-            .otherwise(F.lit("new"))
-            .alias("status"),
-            loc.alias("location"),
-            F.lit("original").alias("sort"),
+        states = run_states(feats, run_id, location_col=loc)
+        states.write.mode("overwrite").parquet(
+            f"{states_path}/epoch={batch_id}"
         )
-        states.write.mode("append").parquet(states_path)
         batch_df.sparkSession.createDataFrame(
             [(run_id, "stream", batch_id)], "run_id string, source_id string, seq long"
         ).withColumn(
@@ -110,8 +116,8 @@ def stream_inspections(
             "start_ts",
             F.timestamp_seconds(F.lit(1_600_000_000) + F.col("seq")),
         ).withColumn("finish_ts", F.col("start_ts")).drop("seq").write.mode(
-            "append"
-        ).parquet(runs_path)
+            "overwrite"
+        ).parquet(f"{runs_path}/epoch={batch_id}")
 
     writer = (
         read_image_stream(spark, input_path)
@@ -162,22 +168,21 @@ def stream_ingest_metrics(
     window end). So metrics are computed per micro-batch via
     ``foreachBatch``: each batch runs the same ``ingest_metrics``
     aggregation in BATCH mode (watermark is a no-op there) over a
-    deterministic per-batch timestamp and appends immediately — exactly
-    once per file via the stream checkpoint. Sources with a real
-    event-time column (Kafka / Iceberg ingest_ts) should instead feed
-    ``ingest_metrics`` directly as a watermarked streaming aggregation."""
+    deterministic per-batch timestamp, written into the epoch's own
+    subdirectory (overwrite — idempotent under batch replay, see
+    stream_inspections). Sources with a real event-time column
+    (Kafka / Iceberg ingest_ts) should instead feed ``ingest_metrics``
+    directly as a watermarked streaming aggregation."""
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         stamped = batch_df.withColumn(
-            # deterministic batch stamp (one window per batch): replays of
-            # the same batch id land in the same window, keeping the
-            # foreachBatch append idempotent per batch
+            # deterministic batch stamp (one window per batch)
             "ingest_ts",
             F.timestamp_seconds(F.lit(1_600_000_000) + F.lit(batch_id) * 60),
         )
         ingest_metrics(stamped).withColumn(
             "batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(output_path)
+        ).write.mode("overwrite").parquet(f"{output_path}/epoch={batch_id}")
 
     writer = (
         read_image_stream(spark, input_path)

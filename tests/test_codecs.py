@@ -61,3 +61,30 @@ def test_phash_separates_different_images():
     a = phash64(_make_pixels(_rng(42, "t", 1), 32, 24))
     b = phash64(_make_pixels(_rng(42, "t", 2), 32, 24))
     assert hamming64(a, b) > 10
+
+
+def test_corrupt_body_with_valid_magic_raises_valueerror():
+    """A payload with a valid magic but corrupt body must raise ValueError
+    (not zlib/struct errors) so per-row feature extraction marks the row
+    unreadable instead of failing the task."""
+    import struct
+
+    import pytest
+
+    from ordinarydumpdeduplicator_spark.fixtures import codecs
+
+    # PNG magic + IHDR + garbage IDAT (not a deflate stream)
+    ihdr = codecs._png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    )
+    idat = codecs._png_chunk(b"IDAT", b"\xff\xfe\xfd\xfc")
+    bad_png = b"\x89PNG\r\n\x1a\n" + ihdr + idat
+    with pytest.raises(ValueError):
+        codecs.decode(bad_png)
+
+    # truncated simulated-jpeg body
+    good = codecs.encode_ljpg(
+        __import__("numpy").zeros((8, 8, 3), dtype="uint8")
+    )
+    with pytest.raises(ValueError):
+        codecs.decode(good[:12])

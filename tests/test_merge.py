@@ -152,3 +152,31 @@ def test_merge_random_property_vs_pandas_oracle(spark):
 
     got = {tuple(r) for r in execute_merge(target, source, spec).collect()}
     assert got == expected
+
+
+def test_duplicate_unmatched_source_keys_insert_per_row(spark):
+    """Iceberg cardinality: duplicate source keys are an error only when
+    they match one target row; unmatched duplicates insert per-row."""
+    import pytest
+
+    from ordinarydumpdeduplicator_spark.sources.merge import (
+        MergeSpec,
+        execute_merge,
+    )
+
+    spec = MergeSpec(
+        on=["k"],
+        matched=[(None, {"v": "s.v"})],
+        not_matched=(None, {"k": "s.k", "v": "s.v"}),
+    )
+    target = spark.createDataFrame([("a", 1)], "k string, v long")
+    source = spark.createDataFrame(
+        [("b", 10), ("b", 11)], "k string, v long"
+    )
+    out = {(r.k, r.v) for r in execute_merge(target, source, spec).collect()}
+    assert out == {("a", 1), ("b", 10), ("b", 11)}
+
+    # the same duplicate key DOES raise once it matches a target row
+    target2 = spark.createDataFrame([("b", 1)], "k string, v long")
+    with pytest.raises(ValueError, match="cardinality"):
+        execute_merge(target2, source, spec)
