@@ -10,10 +10,12 @@ daily increment must NOT re-decode the whole corpus.
 ``incremental_features`` reuses the stored features table for every image
 id already seen and runs the (expensive, Python-side) extraction ONLY for
 ids not present yet — a left-anti join. Graph stages then run over the
-combined compact features, which is the cheap, JVM-side part. (Fully
-incremental LSH — appending band rows and re-clustering only affected
-components — is the next refinement; the band/bucket tables checkpointed
-by operators/lsh.py are already in the right shape for it.)
+combined compact features, which is the cheap, JVM-side part.
+``incremental_caption_candidates`` / ``incremental_caption_run`` are the
+fully incremental LSH refinement: an append-only band index read through
+a batch-key semi join, candidates only for pairs a new doc completes, and
+re-clustering only of components the new edges touch
+(operators/connected_components.incremental_clusters).
 
 Status derivation (CDC) comes from operators/states.derive_status over the
 append-only states rows each run emits.
