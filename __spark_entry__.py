@@ -374,6 +374,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _tbl(spark, sf, "embeddings")
         return ivf_topk(emb, k=3).select("vec_id", "neighbor_id", "rank")
 
+    # ----- exact-substring + semantic dedup (training-pipeline ops) -----
+
+    def q_exact_substring_spans(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.substring_dedup import (
+            exact_substring_spans,
+        )
+
+        return exact_substring_spans(_docs(spark, sf), k=8)
+
+    def q_substring_dup_stats(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.substring_dedup import (
+            substring_dup_stats,
+        )
+
+        return substring_dup_stats(_docs(spark, sf), k=8)
+
+    def q_semantic_dedup(spark, sf):  # rows-only (k-means quantizer not
+        # in SQL); the within-cell greedy rule is pinned exactly against a
+        # numpy recomputation in tests/test_substring_dedup.py
+        from ordinarydumpdeduplicator_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        emb = _tbl(spark, sf, "embeddings")
+        # threshold 0.4 matches the corpus's similarity regime (the same
+        # low-similarity regime as embedding_dup_pairs above) so the query
+        # exercises actual drops at driver scale
+        return semantic_dedup(emb, threshold=0.4, n_cells=16)
+
     return {
         "exact_text_groups": q_exact_text_groups,
         "dup_text_groups": q_dup_text_groups,
@@ -406,6 +435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_similar": q_topk_similar,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "exact_substring_spans": q_exact_substring_spans,
+        "substring_dup_stats": q_substring_dup_stats,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -725,4 +757,66 @@ def oracle_sql() -> dict[str, str]:
         # ivf_topk stays rows-only: its centroids come from driver-side
         # k-means — not SQL-expressible; recall vs topk_similar is pinned
         # by tests/test_ann_recall.py
+        "exact_substring_spans": f"SELECT * FROM ({_substring_spans_sql(8)})",
+        "substring_dup_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ),
+            spans AS ({_substring_spans_sql(8)}),
+            per_doc AS (
+              SELECT doc_id, count(*)::BIGINT AS n_spans,
+                     sum(span_len)::BIGINT AS dup_tokens
+              FROM spans GROUP BY doc_id
+            )
+            SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+                   coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+                   coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens
+            FROM toks t LEFT JOIN per_doc p USING (doc_id)
+        """,
+        # semantic_dedup stays rows-only: driver-side k-means quantizer —
+        # the greedy within-cell rule is numpy-pinned in
+        # tests/test_substring_dedup.py
     }
+
+
+def _substring_spans_sql(k: int) -> str:
+    """DuckDB replay of operators/substring_dedup.exact_substring_spans:
+    same md5(k-gram) keys, same >= 2-distinct-docs filter, same
+    gaps-and-islands merge."""
+    return f"""
+        WITH sub_toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                 md5(array_to_string(t[i:i+{k}-1], ' ')) AS gram_key
+          FROM sub_toks,
+               LATERAL (SELECT unnest(generate_series(1, len(t) - {k} + 1)) AS i) g
+          WHERE len(t) >= {k}
+        ),
+        dup AS (
+          SELECT gram_key FROM grams
+          GROUP BY gram_key HAVING count(DISTINCT doc_id) >= 2
+        ),
+        hits AS (
+          SELECT doc_id, pos, pos + {k} AS e
+          FROM grams SEMI JOIN dup USING (gram_key)
+        ),
+        marked AS (
+          SELECT doc_id, pos, e,
+            CASE WHEN pos > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS is_new
+          FROM hits
+        ),
+        isl AS (
+          SELECT doc_id, pos, e,
+                 sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM marked
+        )
+        SELECT doc_id, min(pos)::BIGINT AS span_start,
+               max(e)::BIGINT AS span_end,
+               (max(e) - min(pos))::BIGINT AS span_len
+        FROM isl GROUP BY doc_id, island
+    """

@@ -264,6 +264,31 @@ def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 8, seed: int = 7) -> 
     return cents
 
 
+def _train_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    sample_size: int,
+    id_col: str,
+    vec_col: str,
+) -> np.ndarray:
+    """Seeded coarse-quantizer centroids from a hash-ordered pseudo-random
+    sample: order by a hash of the id and take the top-n (a distributed
+    TakeOrdered — no full sort, no full scan to the driver). `.limit()`
+    alone would take the FIRST partitions only, which on
+    partition-correlated data collapses the centroids."""
+    sample_rows = (
+        embeddings.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(sample_size)
+        .select("v")
+        .collect()
+    )
+    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    sn = np.linalg.norm(sample, axis=1)
+    sn[sn == 0] = 1.0
+    return _kmeans(sample / sn[:, None], n_cells)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -283,21 +308,7 @@ def ivf_topk(
     assignment and probe steps are single matmuls per batch. Recall is
     controlled by n_probe and degrades only when true neighbors straddle
     cell boundaries (random noise corpora are the worst case)."""
-    # pseudo-random training sample: order by a hash of the id and take the
-    # top-n (a distributed TakeOrdered — no full sort, no full scan to the
-    # driver). `.limit()` alone would take the FIRST partitions only, which
-    # on partition-correlated data collapses the centroids.
-    sample_rows = (
-        embeddings.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
-        .orderBy("h")
-        .limit(sample_size)
-        .select("v")
-        .collect()
-    )
-    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
-    sn = np.linalg.norm(sample, axis=1)
-    sn[sn == 0] = 1.0
-    cents = _kmeans(sample / sn[:, None], n_cells)
+    cents = _train_centroids(embeddings, n_cells, sample_size, id_col, vec_col)
     spark = embeddings.sparkSession
     b_cents = spark.sparkContext.broadcast(cents)
 
@@ -500,4 +511,70 @@ def embedding_near_pairs_lsh(
         with_cosine(cands, "vec", "vec_b")
         .filter(F.col("cosine") >= threshold)
         .select("vec_id_a", "vec_id_b")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 64,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023): coarse
+    k-means clusters the corpus, and within each cluster a vector is
+    dropped when some LOWER-id vector in the same cluster has cosine
+    similarity >= threshold. "Lower id wins" replaces the paper's
+    arbitrary exemplar choice with a deterministic, testable rule; a
+    dropped vector still shadows later ones (the greedy chain the common
+    implementations use), so exactly one representative of every
+    within-cell similarity chain survives.
+
+    Output: one row per input vector — (vec_id, cell, is_kept).
+
+    Scale story: the only quadratic step is the within-cell pair join, and
+    cell population is ~n / n_cells — at 100x corpus size n_cells scales
+    with n (IVF-style) so per-cell work stays constant; the pair join is a
+    single equi-join on cell after an explicit repartition (AQE would
+    otherwise coalesce the tiny test-scale shuffle to one task and
+    serialize the cosine verify). Centroids are driver-trained on a
+    hash-ordered sample and broadcast — no global matrix anywhere."""
+    cents = _train_centroids(embeddings, n_cells, sample_size, id_col, vec_col)
+    b_cents = embeddings.sparkSession.sparkContext.broadcast(cents)
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        c = b_cents.value
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        nm = np.linalg.norm(mat, axis=1)
+        nm[nm == 0] = 1.0
+        return pd.Series(
+            (mat / nm[:, None] @ c.T).argmax(axis=1).astype(np.int32),
+            index=vecs.index,
+        )
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).withColumn("cell", nearest_cell("vec"))
+    corpus = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, "cell"
+    ).localCheckpoint()
+
+    prior = corpus.select(
+        F.col("vec_id").alias("prior_id"), F.col("vec").alias("prior_vec"), "cell"
+    )
+    dropped = (
+        corpus.join(prior, "cell")
+        .where(F.col("prior_id") < F.col("vec_id"))
+        .transform(lambda df: with_cosine(df, "vec", "prior_vec"))
+        .where(F.col("cosine") >= threshold)
+        .select("vec_id")
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return corpus.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_kept"),
     )

@@ -1,0 +1,157 @@
+"""Exact-substring duplicate-span detection over an (id, text) corpus.
+
+The training-data-pipeline operator popularized by "Deduplicating Training
+Data Makes Language Models Better" (Lee et al., 2022): find text spans of at
+least ``k`` tokens that occur verbatim in more than one document. The
+published implementation builds one global suffix array; a global suffix
+array does not distribute, so this module re-expresses the same semantics
+Spark-first:
+
+    tokenize -> slide a k-token window (one gram per position) ->
+    hash-group grams -> keep grams seen in >= min_docs distinct docs ->
+    per document, merge overlapping [pos, pos+k) hit windows into maximal
+    spans (gaps-and-islands over a per-doc window).
+
+Every step is built-in Catalyst expressions (split / transform / slice /
+posexplode / md5 / window aggregates) — no Python in the hot path — and
+every shuffle is keyed (gram hash, then doc_id), so the operator scales the
+way a hash-join does rather than the way a suffix array doesn't. Any span
+the suffix-array method reports with length >= k is covered by at least one
+shared k-gram, so the merged islands here are exactly the maximal duplicated
+spans at k-token resolution.
+
+Reference analogue: this generalizes the reference's whole-file hash-group
+(DataControllerSimple.cs:252-301) from "entire blob equal" to "sub-span of
+the token stream equal" — same hash-then-group plan, finer key.
+
+Outputs use token positions (span_start inclusive, span_end exclusive) so
+results are integer-exact and DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str) -> F.Column:
+    """Lowercased whitespace tokens, empties dropped (same normalization
+    family as text_dedup.normalized_text, kept oracle-expressible)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+
+
+def token_gram_hits(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """One row per (doc_id, pos) whose k-token gram at ``pos`` also occurs
+    in >= ``min_docs`` distinct documents. Grouping key is md5(gram text):
+    the gram string never rides the group-by shuffle twice (the semi-join
+    back to positions is on the same 32-char key), and md5 exists verbatim
+    in DuckDB so the oracle can reproduce the key exactly."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("toks")
+    ).where(F.size("toks") >= k)
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, k))),
+            )
+        ).alias("pos", "gram_key"),
+    )
+    dup_keys = (
+        grams.groupBy("gram_key")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("gram_key")
+    )
+    return grams.join(dup_keys, "gram_key", "left_semi").select(
+        "doc_id", F.col("pos").cast("long").alias("pos")
+    )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal duplicated spans per document: merge each doc's overlapping
+    or adjacent [pos, pos + k) gram-hit windows into islands.
+
+    Output: (doc_id, span_start, span_end, span_len) in token positions,
+    span_end exclusive. The merge is the classic gaps-and-islands pair of
+    windows — a running max of prior span ends marks island starts, a
+    running sum of the marks numbers the islands — both partitioned by
+    doc_id, so the only shuffle after the gram stage is one exchange on
+    doc_id and the per-doc sort is bounded by document length."""
+    hits = token_gram_hits(docs, id_col, text_col, k=k, min_docs=min_docs)
+    hits = hits.select("doc_id", "pos", (F.col("pos") + k).alias("end"))
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = hits.withColumn(
+        "is_new",
+        F.when(
+            F.col("pos") > F.coalesce(F.max("end").over(w_prev), F.lit(-1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("is_new").over(w_run))
+    return (
+        marked.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplication budget: how many of the doc's tokens sit
+    inside some duplicated span. One row per input document (docs shorter
+    than k tokens report zero spans), so a pipeline can threshold on
+    dup_tokens / n_tokens to route documents to drop / trim / keep.
+
+    Output: (doc_id, n_tokens, n_spans, dup_tokens)."""
+    spans = exact_substring_spans(docs, id_col, text_col, k=k, min_docs=min_docs)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("dup_tokens"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+    )

@@ -118,3 +118,18 @@ def test_lsh_topk_oracle(spark, subset_dir, duck):
 
     df = e.queries()["lsh_topk"](spark, subset_dir)
     _assert_parity(df, duck, o.lsh_topk_sql(dim=64, k=3))
+
+
+def test_exact_substring_spans_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+
+    df = e.queries()["exact_substring_spans"](spark, subset_dir)
+    assert df.count() > 0, "subset lost all duplicated spans"
+    _assert_parity(df, duck, e.oracle_sql()["exact_substring_spans"])
+
+
+def test_substring_dup_stats_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+
+    df = e.queries()["substring_dup_stats"](spark, subset_dir)
+    _assert_parity(df, duck, e.oracle_sql()["substring_dup_stats"])
