@@ -390,6 +390,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return substring_dup_stats(_docs(spark, sf), k=8)
 
+    def q_corpus_filter(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.substring_dedup import (
+            corpus_filter_decisions,
+        )
+
+        return corpus_filter_decisions(_docs(spark, sf), k=8)
+
     def q_semantic_dedup(spark, sf):  # rows-only (k-means quantizer not
         # in SQL); the within-cell greedy rule is pinned exactly against a
         # numpy recomputation in tests/test_substring_dedup.py
@@ -437,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "exact_substring_spans": q_exact_substring_spans,
         "substring_dup_stats": q_substring_dup_stats,
+        "corpus_filter": q_corpus_filter,
         "semantic_dedup": q_semantic_dedup,
     }
 
@@ -772,6 +780,31 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(p.n_spans, 0)::BIGINT AS n_spans,
                    coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens
             FROM toks t LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "corpus_filter": f"""
+            WITH exact AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY sha256({_NORM}))
+                       AS cluster_id
+              FROM documents
+            ),
+            toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            spans AS ({_substring_spans_sql(8)}),
+            per_doc AS (
+              SELECT doc_id, sum(span_len)::BIGINT AS dup_tokens
+              FROM spans GROUP BY doc_id
+            ),
+            stats AS (
+              SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+                     coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens
+              FROM toks t LEFT JOIN per_doc p USING (doc_id)
+            )
+            SELECT e.doc_id, e.cluster_id,
+                   e.doc_id <> e.cluster_id AS is_exact_dup,
+                   s.n_tokens, s.dup_tokens,
+                   (e.doc_id = e.cluster_id
+                    AND s.dup_tokens * 2 <= s.n_tokens * 1) AS keep
+            FROM exact e JOIN stats s ON e.doc_id = s.doc_id
         """,
         # semantic_dedup stays rows-only: driver-side k-means quantizer —
         # the greedy within-cell rule is numpy-pinned in

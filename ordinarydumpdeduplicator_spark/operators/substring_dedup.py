@@ -66,12 +66,25 @@ def token_gram_hits(
             )
         ).alias("pos", "gram_key"),
     )
-    dup_keys = (
-        grams.groupBy("gram_key")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
-        .where(F.col("n_docs") >= min_docs)
-        .select("gram_key")
-    )
+    if min_docs == 2:
+        # "seen in >= 2 distinct docs" == min(doc_id) != max(doc_id):
+        # partial map-side min/max instead of the two-phase distinct
+        # expansion count_distinct needs — at 100 TB the gram frame is the
+        # biggest intermediate in the operator and this keeps its only
+        # aggregation a plain hash-agg.
+        dup_keys = (
+            grams.groupBy("gram_key")
+            .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+            .where(F.col("mn") != F.col("mx"))
+            .select("gram_key")
+        )
+    else:
+        dup_keys = (
+            grams.groupBy("gram_key")
+            .agg(F.count_distinct("doc_id").alias("n_docs"))
+            .where(F.col("n_docs") >= min_docs)
+            .select("gram_key")
+        )
     return grams.join(dup_keys, "gram_key", "left_semi").select(
         "doc_id", F.col("pos").cast("long").alias("pos")
     )
@@ -154,4 +167,57 @@ def substring_dup_stats(
         "n_tokens",
         F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
         F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+    )
+
+
+def corpus_filter_decisions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+    dup_num: int = 1,
+    dup_den: int = 2,
+) -> DataFrame:
+    """The corpus-cleaning policy a training pipeline runs after dedup:
+    one keep/drop decision per document, combining
+
+    - exact duplication: a doc is dropped when it is a non-representative
+      member of an exact content group (keeper = min doc_id — the same
+      first-wins rule as the reference's AddBlobInfo set semantics,
+      DataControllerSimple.cs:252-301), and
+    - substring duplication budget: a doc is dropped when more than
+      ``dup_num/dup_den`` of its tokens sit inside spans duplicated
+      across >= min_docs documents (Lee et al. 2022's doc-level
+      trim-or-drop policy, at drop granularity).
+
+    The threshold is a rational (dup_num/dup_den, default 1/2) compared
+    in integer cross-multiplication — every output column is integer or
+    boolean, so the decision is hash-exact against the DuckDB oracle.
+
+    Output: (doc_id, cluster_id, is_exact_dup, n_tokens, dup_tokens,
+    keep)."""
+    from .text_dedup import exact_text_groups
+
+    exact = exact_text_groups(docs, id_col, text_col).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") != F.col("cluster_id")).alias("is_exact_dup"),
+    )
+    stats = substring_dup_stats(
+        docs, id_col, text_col, k=k, min_docs=min_docs
+    ).select("doc_id", "n_tokens", "dup_tokens")
+    return exact.join(stats, "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        "is_exact_dup",
+        "n_tokens",
+        "dup_tokens",
+        (
+            ~F.col("is_exact_dup")
+            & (
+                F.col("dup_tokens") * F.lit(dup_den)
+                <= F.col("n_tokens") * F.lit(dup_num)
+            )
+        ).alias("keep"),
     )

@@ -133,3 +133,11 @@ def test_substring_dup_stats_oracle(spark, subset_dir, duck):
 
     df = e.queries()["substring_dup_stats"](spark, subset_dir)
     _assert_parity(df, duck, e.oracle_sql()["substring_dup_stats"])
+
+
+def test_corpus_filter_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+
+    df = e.queries()["corpus_filter"](spark, subset_dir)
+    assert df.where("NOT keep").count() > 0, "subset lost all drops"
+    _assert_parity(df, duck, e.oracle_sql()["corpus_filter"])

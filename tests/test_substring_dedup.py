@@ -116,6 +116,35 @@ def test_dup_stats_cover_every_doc(spark):
     assert stats[4]["dup_tokens"] == 0 and stats[4]["n_spans"] == 0
 
 
+def test_corpus_filter_policy(spark):
+    from ordinarydumpdeduplicator_spark.operators.substring_dedup import (
+        corpus_filter_decisions,
+    )
+
+    heavy = "a b c d e f g h i j"  # 10 tokens, fully duplicated vs doc 4
+    rows = [
+        (1, "Hello   World"),  # exact group rep (normalized == doc 2)
+        (2, "hello world"),  # exact dup -> dropped
+        (3, f"{heavy} unique tail"),  # 10/12 dup tokens > 1/2 -> dropped
+        (4, f"{heavy} different ending that is long enough to stay under"
+            " half duplicated tokens overall for sure"),
+        (5, "completely unique and short"),  # keep
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in corpus_filter_decisions(
+            _docs(spark, rows), k=4
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["keep"] and not out[1]["is_exact_dup"]
+    assert not out[2]["keep"] and out[2]["is_exact_dup"]
+    assert out[2]["cluster_id"] == 1
+    assert not out[3]["keep"] and not out[3]["is_exact_dup"]  # budget drop
+    assert out[4]["keep"]  # same span, but under the 1/2 budget
+    assert out[5]["keep"] and out[5]["dup_tokens"] == 0
+
+
 EMB_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType()),
