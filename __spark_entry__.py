@@ -781,30 +781,46 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens
             FROM toks t LEFT JOIN per_doc p USING (doc_id)
         """,
+        # substring budget over exact-group REPRESENTATIVES (dedup-first —
+        # a group's own copies must not mark the keeper's tokens dup)
         "corpus_filter": f"""
-            WITH exact AS (
-              SELECT doc_id,
-                     min(doc_id) OVER (PARTITION BY sha256({_NORM}))
-                       AS cluster_id
+            WITH base AS (
+              SELECT doc_id, sha256({_NORM}) AS content_sha, {_TOKS} AS t
               FROM documents
             ),
-            toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-            spans AS ({_substring_spans_sql(8)}),
-            per_doc AS (
-              SELECT doc_id, sum(span_len)::BIGINT AS dup_tokens
+            grp AS (
+              SELECT content_sha, min(doc_id) AS cluster_id
+              FROM base GROUP BY content_sha
+            ),
+            members AS (
+              SELECT b.doc_id, g.cluster_id
+              FROM base b JOIN grp g USING (content_sha)
+            ),
+            reps AS (
+              SELECT b.doc_id, b.t
+              FROM base b SEMI JOIN grp g ON b.doc_id = g.cluster_id
+            ),
+            spans AS (
+              {_substring_spans_sql(8, "SELECT doc_id, t FROM reps")}
+            ),
+            per_content AS (
+              SELECT doc_id AS cluster_id, sum(span_len)::BIGINT AS dup_tokens
               FROM spans GROUP BY doc_id
             ),
-            stats AS (
-              SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
-                     coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens
-              FROM toks t LEFT JOIN per_doc p USING (doc_id)
+            rep_tokens AS (
+              SELECT doc_id AS cluster_id, len(t)::BIGINT AS n_tokens
+              FROM reps
             )
-            SELECT e.doc_id, e.cluster_id,
-                   e.doc_id <> e.cluster_id AS is_exact_dup,
-                   s.n_tokens, s.dup_tokens,
-                   (e.doc_id = e.cluster_id
-                    AND s.dup_tokens * 2 <= s.n_tokens * 1) AS keep
-            FROM exact e JOIN stats s ON e.doc_id = s.doc_id
+            SELECT m.doc_id, m.cluster_id,
+                   m.doc_id <> m.cluster_id AS is_exact_dup,
+                   rt.n_tokens,
+                   coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+                   (m.doc_id = m.cluster_id
+                    AND coalesce(p.dup_tokens, 0) * 2 <= rt.n_tokens * 1)
+                     AS keep
+            FROM members m
+            JOIN rep_tokens rt USING (cluster_id)
+            LEFT JOIN per_content p USING (cluster_id)
         """,
         # semantic_dedup stays rows-only: driver-side k-means quantizer —
         # the greedy within-cell rule is numpy-pinned in
@@ -812,13 +828,15 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _substring_spans_sql(k: int) -> str:
+def _substring_spans_sql(k: int, toks_source: str | None = None) -> str:
     """DuckDB replay of operators/substring_dedup.exact_substring_spans:
     same md5(k-gram) keys, same >= 2-distinct-docs filter, same
-    gaps-and-islands merge."""
+    gaps-and-islands merge. ``toks_source`` overrides the (doc_id, t)
+    relation the grams are drawn from (default: tokenized documents)."""
+    src = toks_source or f"SELECT doc_id, {_TOKS} AS t FROM documents"
     return f"""
         WITH sub_toks AS (
-          SELECT doc_id, {_TOKS} AS t FROM documents
+          {src}
         ),
         grams AS (
           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,

@@ -122,6 +122,9 @@ def main() -> None:
         "token_stats",
         "lang_id",
         "lsh_topk",
+        # added in round 2 (new keys only — r1 keys stay diffable)
+        "corpus_filter",
+        "semantic_dedup",
     ]
     for name in headline:
         fn = qs[name]

@@ -134,6 +134,11 @@ def caption_representatives(features: DataFrame) -> tuple[DataFrame, DataFrame]:
     Returns (reps, star_edges): reps = one row per distinct caption_sha with
     its precomputed LSH band keys; star_edges link collapsed members to the
     rep."""
+    # caption_sha and bands are null under the SAME condition (caption has
+    # zero tokens): shingles() falls back to the whole token join for
+    # captions shorter than SHINGLE_K, so even one-token captions band.
+    # The conjunction is belt-and-braces for features from other
+    # producers, not a narrowing — no non-empty caption is excluded.
     f = features.filter(F.col("caption_sha").isNotNull() & F.col("bands").isNotNull())
     # HASH aggregate, not a window: a window would exchange AND SORT every
     # row together with its 32-long band array (measured ~5s per evaluation

@@ -201,7 +201,8 @@ def band_sketch(
     recall (8 chances to agree) AND fine bucket granularity (256 keys per
     band — a 4-bit key yields corpus/16-sized buckets that blow past any
     cap at scale). One matmul + one reshape-matmul per Arrow batch."""
-    assert n_planes % bands == 0
+    if n_planes % bands != 0:
+        raise ValueError("band_sketch: n_planes must be divisible by bands")
     bits_per = n_planes // bands
     if bits_per > 53:
         raise ValueError("band_sketch: at most 53 bits per band")

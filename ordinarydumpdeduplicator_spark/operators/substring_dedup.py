@@ -33,31 +33,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def _tokens(text_col: str) -> F.Column:
-    """Lowercased whitespace tokens, empties dropped (same normalization
-    family as text_dedup.normalized_text, kept oracle-expressible)."""
-    return F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
-    )
+from ..functions.text import tokens_col as _tokens
 
 
-def token_gram_hits(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 8,
-    min_docs: int = 2,
-) -> DataFrame:
-    """One row per (doc_id, pos) whose k-token gram at ``pos`` also occurs
-    in >= ``min_docs`` distinct documents. Grouping key is md5(gram text):
-    the gram string never rides the group-by shuffle twice (the semi-join
-    back to positions is on the same 32-char key), and md5 exists verbatim
-    in DuckDB so the oracle can reproduce the key exactly."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("toks")
-    ).where(F.size("toks") >= k)
-    grams = base.select(
+def _gram_hits_toks(base: DataFrame, k: int, min_docs: int) -> DataFrame:
+    """(doc_id, toks) -> one row per (doc_id, pos) whose k-token gram at
+    ``pos`` also occurs in >= ``min_docs`` distinct documents. Grouping key
+    is md5(gram text): the gram string never rides the group-by shuffle
+    twice (the semi-join back to positions is on the same 32-char key),
+    and md5 exists verbatim in DuckDB so the oracle can reproduce the key
+    exactly."""
+    grams = base.where(F.size("toks") >= k).select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -90,23 +76,14 @@ def token_gram_hits(
     )
 
 
-def exact_substring_spans(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 8,
-    min_docs: int = 2,
-) -> DataFrame:
-    """Maximal duplicated spans per document: merge each doc's overlapping
-    or adjacent [pos, pos + k) gram-hit windows into islands.
+def _merge_spans(hits: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos) gram hits -> maximal merged spans per doc.
 
-    Output: (doc_id, span_start, span_end, span_len) in token positions,
-    span_end exclusive. The merge is the classic gaps-and-islands pair of
-    windows — a running max of prior span ends marks island starts, a
-    running sum of the marks numbers the islands — both partitioned by
-    doc_id, so the only shuffle after the gram stage is one exchange on
-    doc_id and the per-doc sort is bounded by document length."""
-    hits = token_gram_hits(docs, id_col, text_col, k=k, min_docs=min_docs)
+    The merge is the classic gaps-and-islands pair of windows — a running
+    max of prior span ends marks island starts, a running sum of the marks
+    numbers the islands — both partitioned by doc_id, so the only shuffle
+    after the gram stage is one exchange on doc_id and the per-doc sort is
+    bounded by document length."""
     hits = hits.select("doc_id", "pos", (F.col("pos") + k).alias("end"))
     w_prev = (
         Window.partitionBy("doc_id")
@@ -140,6 +117,61 @@ def exact_substring_spans(
     )
 
 
+def _stats_from_toks(base: DataFrame, k: int, min_docs: int) -> DataFrame:
+    """(doc_id, toks) -> (doc_id, n_tokens, n_spans, dup_tokens), one row
+    per input doc (short docs report zeros)."""
+    spans = _merge_spans(_gram_hits_toks(base, k, min_docs), k)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+    )
+
+
+def _toks_frame(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("toks")
+    )
+
+
+def token_gram_hits(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """One row per (doc_id, pos) whose k-token gram at ``pos`` also occurs
+    in >= ``min_docs`` distinct documents."""
+    return _gram_hits_toks(_toks_frame(docs, id_col, text_col), k, min_docs)
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal duplicated spans per document: merge each doc's overlapping
+    or adjacent [pos, pos + k) gram-hit windows into islands.
+
+    Output: (doc_id, span_start, span_end, span_len) in token positions,
+    span_end exclusive."""
+    return _merge_spans(
+        token_gram_hits(docs, id_col, text_col, k=k, min_docs=min_docs), k
+    )
+
+
 def substring_dup_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -153,20 +185,8 @@ def substring_dup_stats(
     dup_tokens / n_tokens to route documents to drop / trim / keep.
 
     Output: (doc_id, n_tokens, n_spans, dup_tokens)."""
-    spans = exact_substring_spans(docs, id_col, text_col, k=k, min_docs=min_docs)
-    per_doc = spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum("span_len").alias("dup_tokens"),
-    )
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
-    )
-    return base.join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+    return _stats_from_toks(
+        _toks_frame(docs, id_col, text_col), k, min_docs
     )
 
 
@@ -178,6 +198,7 @@ def corpus_filter_decisions(
     min_docs: int = 2,
     dup_num: int = 1,
     dup_den: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """The corpus-cleaning policy a training pipeline runs after dedup:
     one keep/drop decision per document, combining
@@ -187,34 +208,62 @@ def corpus_filter_decisions(
       first-wins rule as the reference's AddBlobInfo set semantics,
       DataControllerSimple.cs:252-301), and
     - substring duplication budget: a doc is dropped when more than
-      ``dup_num/dup_den`` of its tokens sit inside spans duplicated
-      across >= min_docs documents (Lee et al. 2022's doc-level
-      trim-or-drop policy, at drop granularity).
+      ``dup_num/dup_den`` of its tokens sit inside spans duplicated across
+      >= min_docs documents (Lee et al. 2022's doc-level trim-or-drop
+      policy, at drop granularity).
 
-    The threshold is a rational (dup_num/dup_den, default 1/2) compared
-    in integer cross-multiplication — every output column is integer or
+    The substring budget is computed over the exact-group REPRESENTATIVES,
+    not the raw corpus — dedup-first, exactly as Lee et al. run exact
+    dedup before the substring pass. Otherwise a group's own copies would
+    mark the keeper's every token as duplicated and the content would
+    vanish from the corpus entirely (no survivor). Members of one exact
+    group have identical token sequences by construction (the content key
+    is sha256 of the lower/whitespace-collapsed text), so the
+    representative's (n_tokens, dup_tokens) are content-level facts shared
+    by every member via the cluster_id join.
+
+    The threshold is a rational (dup_num/dup_den, default 1/2) compared in
+    integer cross-multiplication — every output column is integer or
     boolean, so the decision is hash-exact against the DuckDB oracle.
+
+    Plan shape: ONE scan and tokenize pass over the corpus builds a skinny
+    (doc_id, content_sha, toks) frame; ``materialize`` localCheckpoints it
+    because three consumers read it (group agg, member join probe, rep
+    gram source) and would otherwise re-scan the raw corpus per consumer —
+    the same multi-consumer discipline as operators/lsh.pairs_from_buckets
+    (a persisted stage table on a cluster).
 
     Output: (doc_id, cluster_id, is_exact_dup, n_tokens, dup_tokens,
     keep)."""
-    from .text_dedup import exact_text_groups
+    from .text_dedup import normalized_text
 
-    exact = exact_text_groups(docs, id_col, text_col).select(
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(normalized_text(F.col(text_col)), 256).alias("content_sha"),
+        _tokens(text_col).alias("toks"),
+    )
+    if materialize:
+        base = base.localCheckpoint()
+    groups = base.groupBy("content_sha").agg(
+        F.min("doc_id").alias("cluster_id")
+    )
+    members = base.select("doc_id", "content_sha").join(
+        groups, "content_sha"
+    )
+    reps = base.join(
+        groups.select(F.col("cluster_id").alias("doc_id")), "doc_id", "left_semi"
+    ).select("doc_id", "toks")
+    content_stats = _stats_from_toks(reps, k, min_docs).select(
+        F.col("doc_id").alias("cluster_id"), "n_tokens", "dup_tokens"
+    )
+    return members.join(content_stats, "cluster_id").select(
         "doc_id",
         "cluster_id",
         (F.col("doc_id") != F.col("cluster_id")).alias("is_exact_dup"),
-    )
-    stats = substring_dup_stats(
-        docs, id_col, text_col, k=k, min_docs=min_docs
-    ).select("doc_id", "n_tokens", "dup_tokens")
-    return exact.join(stats, "doc_id").select(
-        "doc_id",
-        "cluster_id",
-        "is_exact_dup",
         "n_tokens",
         "dup_tokens",
         (
-            ~F.col("is_exact_dup")
+            (F.col("doc_id") == F.col("cluster_id"))
             & (
                 F.col("dup_tokens") * F.lit(dup_den)
                 <= F.col("n_tokens") * F.lit(dup_num)

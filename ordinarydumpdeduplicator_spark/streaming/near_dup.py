@@ -29,8 +29,12 @@ state and nothing else:
 - a crash between the reps write and the bands write cannot strand the
   index: the replay overwrites both epoch dirs together (the old
   append-mode layout could permanently lose a batch's band rows);
-- the assignment is a full snapshot per epoch; older snapshots are
-  pruned only after the current epoch's snapshot is committed.
+- the assignment is a full snapshot per epoch; superseded snapshots are
+  pruned only after the current epoch's snapshot is written, and the
+  LATEST prior snapshot is always retained — a parquet-committed epoch
+  is not yet checkpoint-committed, so a crash in that gap replays the
+  batch and the replay must find the previous snapshot to resume from
+  (steady state keeps two snapshots on disk).
 
 The state dir and the stream checkpoint dir form one unit — restarting
 with a fresh checkpoint against an existing state dir (or vice versa)
@@ -101,9 +105,9 @@ def stream_near_dup_clusters(
     """Start the streaming near-dup clustering query.
 
     Returns the StreamingQuery; after it finishes (availableNow) read the
-    current assignments with ``load_assignments(spark, state_dir)`` (or
-    ``spark.read.parquet(f"{state_dir}/assign")`` — pruning leaves only
-    the latest committed snapshot)."""
+    current assignments with ``load_assignments(spark, state_dir)`` —
+    NOT the bare root path: pruning retains the latest prior snapshot as
+    replay insurance, so two epochs coexist on disk."""
     captions_path = os.path.join(state_dir, "captions")
     reps_path = os.path.join(state_dir, "reps")
     bands_path = os.path.join(state_dir, "bands")
@@ -128,9 +132,13 @@ def stream_near_dup_clusters(
             if assign_epochs
             else None
         )
+        # each state component stands on its own: gating the whole dict on
+        # one component would throw away a loadable reps/bands index when
+        # another is missing (e.g. a snapshot dir lost to storage issues)
+        # and re-emit duplicate first-seen reps
         state = (
             dict(reps=reps, bands=bands, assign=assign)
-            if assign is not None
+            if any(x is not None for x in (reps, bands, assign))
             else None
         )
         out = incremental_caption_run(
@@ -151,8 +159,15 @@ def stream_near_dup_clusters(
         out["assign"].write.mode("overwrite").parquet(
             os.path.join(assign_path, epoch)
         )
-        # prune superseded snapshots — only after this epoch committed
-        for _, p in assign_epochs:
+        # prune superseded snapshots, KEEPING the latest one below this
+        # epoch: "this epoch's parquet committed" is weaker than "the
+        # stream checkpoint committed this batch" — if the process dies
+        # in that gap, Structured Streaming replays batch_id and the
+        # replay must still find a prior snapshot to resume from (with
+        # none, it would re-run as a first batch and overwrite epoch=N
+        # with only this batch's clusters, losing every prior
+        # assignment). Steady state keeps exactly two snapshots.
+        for _, p in assign_epochs[:-1]:
             shutil.rmtree(p, ignore_errors=True)
 
     writer = (

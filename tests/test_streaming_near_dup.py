@@ -13,6 +13,7 @@ from ordinarydumpdeduplicator_spark.operators.features import extract_features
 from ordinarydumpdeduplicator_spark.operators.lsh import caption_candidates
 from ordinarydumpdeduplicator_spark.operators.verify import verify_caption_pairs
 from ordinarydumpdeduplicator_spark.streaming.near_dup import (
+    load_assignments,
     stream_near_dup_clusters,
 )
 from tests.conftest import to_spark_images
@@ -42,7 +43,7 @@ def test_stream_near_dup_matches_batch(spark, tiny_corpus, tmp_path):
     ).parquet(inp)
     run_once()
 
-    got = spark.read.parquet(os.path.join(state, "assign"))
+    got = load_assignments(spark, state)
 
     full_images = to_spark_images(spark, pdf)
     feats = extract_features(full_images).cache()
@@ -56,7 +57,7 @@ def test_stream_near_dup_matches_batch(spark, tiny_corpus, tmp_path):
     # third start with no new files: nothing to process, state unchanged
     before = _assign_dict(got)
     run_once()
-    after = _assign_dict(spark.read.parquet(os.path.join(state, "assign")))
+    after = _assign_dict(load_assignments(spark, state))
     assert after == before
 
 
@@ -104,8 +105,47 @@ def test_replayed_epoch_overwrites_partial_state(spark, tiny_corpus, tmp_path):
     ref = connected_components(
         star.select("src", "dst").unionByName(near.select("src", "dst"))
     )
-    from ordinarydumpdeduplicator_spark.streaming.near_dup import (
-        load_assignments,
-    )
+    assert _assign_dict(load_assignments(spark, state)) == _assign_dict(ref)
 
+
+def test_replay_after_prune_keeps_prior_assignments(spark, tiny_corpus, tmp_path):
+    """Crash in the gap between a batch's state writes and the stream
+    checkpoint commit: the replayed batch must still find the PREVIOUS
+    assignment snapshot (pruning retains the latest prior epoch), or the
+    replay would re-run as a first batch and silently drop every earlier
+    cluster assignment."""
+    import shutil
+
+    pdf, _ = tiny_corpus
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    os.makedirs(inp, exist_ok=True)
+
+    to_spark_images(spark, pdf.iloc[:120]).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    stream_near_dup_clusters(spark, inp, state, ck).awaitTermination()
+    to_spark_images(spark, pdf.iloc[120:]).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    stream_near_dup_clusters(spark, inp, state, ck).awaitTermination()
+
+    # batch 1's state writes (incl. the prune) completed, but "the
+    # checkpoint never committed": delete the commit marker (and its
+    # local-FS checksum sidecar) so the next start re-executes batch 1
+    # with the same offsets
+    os.remove(os.path.join(ck, "commits", "1"))
+    crc = os.path.join(ck, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    stream_near_dup_clusters(spark, inp, state, ck).awaitTermination()
+
+    full_images = to_spark_images(spark, pdf)
+    feats = extract_features(full_images).cache()
+    pairs, star = caption_candidates(feats, bucket_cap=256)
+    near = verify_caption_pairs(pairs, full_images)
+    ref = connected_components(
+        star.select("src", "dst").unionByName(near.select("src", "dst"))
+    )
     assert _assign_dict(load_assignments(spark, state)) == _assign_dict(ref)

@@ -145,6 +145,33 @@ def test_corpus_filter_policy(spark):
     assert out[5]["keep"] and out[5]["dup_tokens"] == 0
 
 
+def test_corpus_filter_keeper_of_exact_group_survives(spark):
+    """Dedup-first: a long doc with exact copies must keep exactly ONE
+    survivor — the group's own copies must not count toward the keeper's
+    substring budget (they share every k-gram by construction)."""
+    from ordinarydumpdeduplicator_spark.operators.substring_dedup import (
+        corpus_filter_decisions,
+    )
+
+    long_text = " ".join(f"tok{i}" for i in range(20))
+    rows = [
+        (10, long_text),
+        (11, long_text),  # exact copy
+        (12, long_text.upper()),  # normalizes equal -> same group
+        (13, "some other unique content here entirely"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in corpus_filter_decisions(_docs(spark, rows), k=4).collect()
+    }
+    assert out[10]["keep"] and out[10]["dup_tokens"] == 0
+    assert not out[11]["keep"] and out[11]["is_exact_dup"]
+    assert not out[12]["keep"] and out[12]["cluster_id"] == 10
+    assert out[13]["keep"]
+    kept = [d for d, r in out.items() if r["keep"]]
+    assert kept == [10, 13]
+
+
 EMB_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType()),
