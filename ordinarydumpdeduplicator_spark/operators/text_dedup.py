@@ -80,11 +80,16 @@ def minhash_candidate_pairs(
     bucket_cap: int = 256,
 ) -> DataFrame:
     """LSH candidate pairs over document text (ids as strings for the
-    shared banding machinery; cast back by the caller if needed)."""
+    shared banding machinery; cast back by the caller if needed).
+
+    No null filter on ``bands``: posexplode skips null arrays anyway, and
+    a filter on a pandas-UDF output column makes Catalyst evaluate the
+    UDF TWICE (once inside the Filter, once again to produce the column
+    after it — visible as two ArrowEvalPython nodes in the plan)."""
     sigs = docs.select(
         F.col(id_col).cast("string").alias("id"),
         band_keys_udf(F.col(text_col)).alias("bands"),
-    ).filter(F.col("bands").isNotNull())
+    )
     banded = caption_band_rows(sigs)
     return pairs_from_buckets(banded, bucket_cap=bucket_cap)
 
@@ -186,10 +191,18 @@ def simhash_near_pairs(
     from .features import simhash_text_udf
 
     simhash_udf = simhash_text_udf()
-    sh = docs.select(
-        F.col(id_col).cast("string").alias("id"),
-        simhash_udf(F.col(text_col)).alias("simhash"),
-    ).filter(F.col("simhash").isNotNull())
+    # localCheckpoint: sh has THREE consumers (band explode + both sides
+    # of the candidate join-back), and the isNotNull filter on a
+    # pandas-UDF output column alone already makes Catalyst evaluate the
+    # UDF twice — the cut pays one small job to run the UDF exactly once
+    sh = (
+        docs.select(
+            F.col(id_col).cast("string").alias("id"),
+            simhash_udf(F.col(text_col)).alias("simhash"),
+        )
+        .filter(F.col("simhash").isNotNull())
+        .localCheckpoint()
+    )
 
     entries = F.array(
         *[
