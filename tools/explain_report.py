@@ -33,6 +33,8 @@ HEADLINE = [
     "location_rollup_docs",
     "lsh_topk",
     "topk_similar",
+    "exact_substring_spans",
+    "corpus_filter",
 ]
 
 
