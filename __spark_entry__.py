@@ -349,6 +349,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.size("fingerprint").alias("n_fingerprints")
         )
 
+    def q_repetition_stats(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.text_analysis import (
+            repetition_stats,
+        )
+
+        return repetition_stats(_docs(spark, sf), n=2)
+
     def q_lang_distribution(spark, sf):
         return (
             _docs(spark, sf)
@@ -438,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "bpe_token_stats": q_bpe_token_stats,
         "winnowing_fingerprints": q_winnowing_fingerprints,
+        "repetition_stats": q_repetition_stats,
         "lang_distribution": q_lang_distribution,
         "topk_similar": q_topk_similar,
         "lsh_topk": q_lsh_topk,
@@ -821,6 +829,32 @@ def oracle_sql() -> dict[str, str]:
             FROM members m
             JOIN rep_tokens rt USING (cluster_id)
             LEFT JOIN per_content p USING (cluster_id)
+        """,
+        "repetition_stats": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            grams AS (
+              SELECT doc_id, md5(array_to_string(t[i:i+1], ' ')) AS gram_key
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+              WHERE len(t) >= 2
+            ),
+            per_gram AS (
+              SELECT doc_id, gram_key, count(*) AS c
+              FROM grams GROUP BY doc_id, gram_key
+            ),
+            per_doc AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
+                     max(c)::BIGINT AS top_ngram_count,
+                     coalesce(sum(CASE WHEN c >= 2 THEN c END), 0)::BIGINT
+                       AS dup_ngram_positions
+              FROM per_gram GROUP BY doc_id
+            )
+            SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+                   coalesce(p.n_ngrams, 0)::BIGINT AS n_ngrams,
+                   coalesce(p.top_ngram_count, 0)::BIGINT AS top_ngram_count,
+                   coalesce(p.dup_ngram_positions, 0)::BIGINT
+                     AS dup_ngram_positions
+            FROM toks t LEFT JOIN per_doc p USING (doc_id)
         """,
         # semantic_dedup stays rows-only: driver-side k-means quantizer —
         # the greedy within-cell rule is numpy-pinned in

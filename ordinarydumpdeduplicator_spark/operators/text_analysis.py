@@ -157,3 +157,65 @@ def winnowing_fingerprints(
         F.col(id_col).alias("doc_id"),
         winnow(F.col(text_col)).alias("fingerprint"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-rule family, Rae et
+    al. 2021 Table A1, at token-n-gram granularity): how much of a
+    document is the document repeating itself. Pipelines threshold on
+    top_ngram_count / n_ngrams (most-common-n-gram coverage) and
+    dup_ngram_positions / n_ngrams (duplicate-n-gram coverage) to drop
+    degenerate machine-generated text.
+
+    One row per input document: (doc_id, n_tokens, n_ngrams,
+    top_ngram_count, dup_ngram_positions), where dup_ngram_positions
+    counts positions whose n-gram occurs >= 2 times IN THE SAME doc (all
+    occurrences counted, matching Gopher's duplicate-fraction
+    definition). All-integer outputs — hash-exact against DuckDB.
+
+    Plan: one posexplode of md5(n-gram) keys (skinny 32-char shuffle
+    values, same trick as operators/substring_dedup), a (doc_id,
+    gram_key) hash-agg, then a per-doc hash-agg — both partial-aggregable
+    map-side, no windows, no Python."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+    )
+    grams = base.where(F.size("toks") >= n).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, n))),
+            )
+        ).alias("gram_key"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram_key").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_ngrams"),
+        F.max("c").alias("top_ngram_count"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+            "dup_ngram_positions"
+        ),
+    )
+    return (
+        base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("top_ngram_count", F.lit(0))
+            .cast("long")
+            .alias("top_ngram_count"),
+            F.coalesce("dup_ngram_positions", F.lit(0))
+            .cast("long")
+            .alias("dup_ngram_positions"),
+        )
+    )

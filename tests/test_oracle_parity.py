@@ -141,3 +141,11 @@ def test_corpus_filter_oracle(spark, subset_dir, duck):
     df = e.queries()["corpus_filter"](spark, subset_dir)
     assert df.where("NOT keep").count() > 0, "subset lost all drops"
     _assert_parity(df, duck, e.oracle_sql()["corpus_filter"])
+
+
+def test_repetition_stats_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+
+    df = e.queries()["repetition_stats"](spark, subset_dir)
+    assert df.where("dup_ngram_positions > 0").count() > 0
+    _assert_parity(df, duck, e.oracle_sql()["repetition_stats"])

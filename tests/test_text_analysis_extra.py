@@ -110,3 +110,42 @@ def test_timespan_string():
     assert timespan_string(59.999) == "00:01:00.00"  # carries into minutes
     assert timespan_string(3599.999) == "01:00:00.00"  # carries into hours
     assert timespan_string(59.99) == "00:00:59.99"
+
+
+def test_repetition_stats_hand_case(spark):
+    from pyspark.sql import types as T
+    from ordinarydumpdeduplicator_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [
+        # "a b a b a": 2-grams = [a b, b a, a b, b a] -> every position is
+        # a duplicate, top gram occurs 2x
+        (1, "a b a b a"),
+        (2, "all tokens here are distinct words"),  # no repeated 2-gram
+        (3, "one"),  # < 2 tokens -> zeros
+        (4, "x x x x"),  # 3x "x x" -> top 3, all 3 positions duplicated
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(
+            spark.createDataFrame(rows, schema=schema), n=2
+        ).collect()
+    }
+    assert out[1]["n_ngrams"] == 4
+    assert out[1]["top_ngram_count"] == 2
+    assert out[1]["dup_ngram_positions"] == 4
+    assert out[2]["dup_ngram_positions"] == 0
+    assert out[2]["top_ngram_count"] == 1
+    assert out[3].asDict() == {
+        "doc_id": 3, "n_tokens": 1, "n_ngrams": 0,
+        "top_ngram_count": 0, "dup_ngram_positions": 0,
+    }
+    assert out[4]["n_ngrams"] == 3 and out[4]["top_ngram_count"] == 3
+    assert out[4]["dup_ngram_positions"] == 3
