@@ -356,6 +356,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return repetition_stats(_docs(spark, sf), n=2)
 
+    def q_decontamination(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.decontamination import (
+            decontaminate,
+        )
+
+        d = _docs(spark, sf)
+        # stand-in eval split: every 10th doc plays the benchmark corpus.
+        # n=4 (not the production 8-13) because the synthetic corpus's
+        # cross-doc shared spans are short; the operator itself is n-generic.
+        return decontaminate(
+            d.where(F.col("doc_id") % 10 != 0),
+            d.where(F.col("doc_id") % 10 == 0),
+            n=4,
+        )
+
     def q_lang_distribution(spark, sf):
         return (
             _docs(spark, sf)
@@ -446,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "repetition_stats": q_repetition_stats,
+        "decontamination": q_decontamination,
         "lang_distribution": q_lang_distribution,
         "topk_similar": q_topk_similar,
         "lsh_topk": q_lsh_topk,
@@ -855,6 +871,37 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(p.dup_ngram_positions, 0)::BIGINT
                      AS dup_ngram_positions
             FROM toks t LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "decontamination": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            tr AS (SELECT * FROM t WHERE doc_id % 10 <> 0),
+            evg AS (
+              SELECT DISTINCT md5(array_to_string(t[i:i+3], ' ')) AS gram_key
+              FROM t, LATERAL (SELECT unnest(generate_series(1, len(t) - 3))
+                               AS i) g
+              WHERE doc_id % 10 = 0 AND len(t) >= 4
+            ),
+            trg AS (
+              SELECT doc_id, md5(array_to_string(t[i:i+3], ' ')) AS gram_key
+              FROM tr, LATERAL (SELECT unnest(generate_series(1, len(t) - 3))
+                                AS i) g
+              WHERE len(t) >= 4
+            ),
+            hit AS (
+              SELECT doc_id,
+                     count(*)::BIGINT AS n_contaminated_positions,
+                     count(DISTINCT gram_key)::BIGINT AS n_contaminated_grams
+              FROM trg WHERE gram_key IN (SELECT gram_key FROM evg)
+              GROUP BY doc_id
+            )
+            SELECT tr.doc_id,
+                   greatest(len(tr.t) - 3, 0)::BIGINT AS n_grams,
+                   coalesce(h.n_contaminated_positions, 0)::BIGINT
+                     AS n_contaminated_positions,
+                   coalesce(h.n_contaminated_grams, 0)::BIGINT
+                     AS n_contaminated_grams,
+                   coalesce(h.n_contaminated_positions, 0) > 0 AS contaminated
+            FROM tr LEFT JOIN hit h USING (doc_id)
         """,
         # semantic_dedup stays rows-only: driver-side k-means quantizer —
         # the greedy within-cell rule is numpy-pinned in

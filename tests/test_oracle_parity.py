@@ -149,3 +149,11 @@ def test_repetition_stats_oracle(spark, subset_dir, duck):
     df = e.queries()["repetition_stats"](spark, subset_dir)
     assert df.where("dup_ngram_positions > 0").count() > 0
     _assert_parity(df, duck, e.oracle_sql()["repetition_stats"])
+
+
+def test_decontamination_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+
+    df = e.queries()["decontamination"](spark, subset_dir)
+    assert df.where("contaminated").count() > 0, "subset has no overlap"
+    _assert_parity(df, duck, e.oracle_sql()["decontamination"])
