@@ -3,8 +3,9 @@
 ``entry(spark)`` runs the flagship near-duplicate text-clustering pipeline
 on sf0.001. ``queries()`` exposes the engine's operators (SURVEY.md §2 ids
 cited per entry) over the driver-provided testdata tables; ``oracle_sql()``
-gives the DuckDB-checkable equivalent for every query except ivf_topk
-(driver-side k-means quantizer — recall-gated by tests instead).
+gives the DuckDB-checkable equivalent for every query except ivf_topk,
+ivf_pq_topk and semantic_dedup (driver-side k-means quantizers —
+recall-/numpy-gated by tests instead).
 Column names/aliases match between the two on purpose — the driver's
 compare hashes values under sorted column names.
 """
@@ -396,6 +397,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _tbl(spark, sf, "embeddings")
         return ivf_topk(emb, k=3).select("vec_id", "neighbor_id", "rank")
 
+    def q_ivf_pq_topk(spark, sf):  # rows-only (k-means quantizer not in SQL)
+        from ordinarydumpdeduplicator_spark.operators.similarity import (
+            ivf_pq_topk,
+        )
+
+        emb = _tbl(spark, sf, "embeddings")
+        return ivf_pq_topk(emb, k=3, m_subspaces=8).select(
+            "vec_id", "neighbor_id", "rank"
+        )
+
     # ----- exact-substring + semantic dedup (training-pipeline ops) -----
 
     def q_exact_substring_spans(spark, sf):
@@ -466,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_similar": q_topk_similar,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
         "exact_substring_spans": q_exact_substring_spans,
         "substring_dup_stats": q_substring_dup_stats,
         "corpus_filter": q_corpus_filter,

@@ -125,6 +125,7 @@ def main() -> None:
         # added in round 2 (new keys only — r1 keys stay diffable)
         "corpus_filter",
         "semantic_dedup",
+        "ivf_pq_topk",
     ]
     for name in headline:
         fn = qs[name]

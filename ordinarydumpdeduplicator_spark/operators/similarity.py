@@ -1,6 +1,6 @@
 """Similarity search over an embedding column (array<float>).
 
-Three paths, as a training-data pipeline needs at 100 TB:
+Four paths, as a training-data pipeline needs at 100 TB:
 
 - ``brute_force_topk``: EXACT cosine top-k, fully distributed — a
   blocked block-nested-loop over (query block x corpus shard) cogroup
@@ -15,6 +15,9 @@ Three paths, as a training-data pipeline needs at 100 TB:
 - ``ivf_topk``: coarse k-means quantizer (seeded, trained on a
   hash-ordered pseudo-random sample) -> cell-sharded exact search over
   n_probe cells. The mid-similarity generic-ANN path.
+- ``ivf_pq_topk``: IVF cells + product-quantization codes (ADC scoring,
+  exact re-rank). The 10^12-vector path: the candidate scan reads ~8
+  code bytes per vector instead of the full embedding.
 
 Top-k per query = ranking window (row_number <= k) — the same O5/O6
 arg-max pattern as the reference's latest-inspection filter
@@ -361,6 +364,233 @@ def ivf_topk(
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias("vec_id"), "neighbor_id", "rank", "cosine")
+    )
+
+
+def _l2_kmeans(
+    sample: np.ndarray, n_codes: int, iters: int = 8, seed: int = 11
+) -> np.ndarray:
+    """Seeded Euclidean k-means (driver-side, sampled input) — the PQ
+    codebook trainer. Unlike ``_kmeans`` (spherical, for the coarse
+    quantizer) subvectors are NOT unit vectors, so assignment is by
+    squared L2, and empty cells keep their previous centroid."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_codes, len(sample)), replace=False)
+    cents = sample[idx].copy()
+    for _ in range(iters):
+        d2 = (
+            (sample * sample).sum(axis=1)[:, None]
+            - 2.0 * (sample @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, sample)
+        counts = np.bincount(assign, minlength=len(cents))
+        nonempty = counts > 0
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return cents
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    m_subspaces: int = 8,
+    n_codes: int = 256,
+    refine: int = 4,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): the 10^12-vector path, where even the
+    probed cells' full vectors are too big to scan.
+
+    - Train: coarse centroids (seeded spherical k-means on a hash-ordered
+      sample, shared with ``ivf_topk``) + per-subspace PQ codebooks
+      (seeded L2 k-means on the same sample's normalized subvectors).
+    - Encode: each corpus vector -> (cell, m uint8 codes). At dim=64,
+      m=8 that is 8 code bytes + 1 cell int per vector instead of 256
+      vector bytes — the candidate scan touches ONLY this compact frame.
+    - Search: per query, probe ``n_probe`` nearest cells; candidates are
+      scored by asymmetric distance (ADC): one (batch x 256) dot table
+      per subspace, then a code lookup — no candidate vector is read.
+    - Refine: the top ``k * refine`` ADC candidates per query join back
+      to the full vectors for exact cosine; final top-k window. Returned
+      ``cosine`` is exact, so downstream thresholds mean the same thing
+      they mean for every other top-k operator here.
+
+    Scale story: 10^12 x 64-dim float32 is ~256 TB of vectors; the PQ
+    code frame is ~9 TB and cell-pruned to n_probe/n_cells of that per
+    query wave, while the full-vector table is only ever probed at
+    k*refine rows per query (an equi-join on vec_id, not a scan). The
+    codebooks (m x 256 x dim/m floats + n_cells x dim centroids) are a
+    few MB broadcast. The candidate join keys on ``cell``, so shuffle
+    parallelism (and skew exposure) is bounded by n_cells — size it
+    ~sqrt(corpus) like any IVF index (64 here fits the test corpora;
+    10^9+ vectors want 10^4-10^5 cells), which also keeps each cell's
+    code shard executor-sized. Like ``ivf_topk`` this is recall-gated in
+    tests/test_ann_recall.py against ``brute_force_topk`` rather than
+    SQL-oracled (driver-side k-means is not SQL-expressible)."""
+    spark = embeddings.sparkSession
+    # ONE hash-ordered sample collect trains both the coarse quantizer and
+    # the PQ codebooks (normalized — queries score against normalized
+    # corpus vectors so cosine == dot)
+    sample_rows = (
+        embeddings.select(
+            F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h")
+        )
+        .orderBy("h")
+        .limit(sample_size)
+        .select("v")
+        .collect()
+    )
+    smp = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    sn = np.linalg.norm(smp, axis=1)
+    sn[sn == 0] = 1.0
+    smp = smp / sn[:, None]
+    cents = _kmeans(smp, n_cells)
+    dim = smp.shape[1]
+    if dim % m_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    ds = dim // m_subspaces
+    books = np.stack(
+        [
+            _l2_kmeans(smp[:, m * ds : (m + 1) * ds], n_codes, seed=11 + m)
+            for m in range(m_subspaces)
+        ]
+    )  # (m, n_codes, ds)
+    b_cents = spark.sparkContext.broadcast(cents)
+    b_books = spark.sparkContext.broadcast(books)
+
+    def _norm_mat(vecs: pd.Series) -> np.ndarray:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        nm = np.linalg.norm(mat, axis=1)
+        nm[nm == 0] = 1.0
+        return mat / nm[:, None]
+
+    @F.pandas_udf(T.ArrayType(T.ShortType()))
+    def encode_pq(vecs: pd.Series) -> pd.Series:
+        bk = b_books.value
+        mat = _norm_mat(vecs)
+        m_, nc, ds_ = bk.shape
+        codes = np.empty((len(mat), m_), dtype=np.int16)
+        for m in range(m_):
+            sub = mat[:, m * ds_ : (m + 1) * ds_]
+            cb = bk[m]
+            d2 = (
+                (sub * sub).sum(axis=1)[:, None]
+                - 2.0 * (sub @ cb.T)
+                + (cb * cb).sum(axis=1)[None, :]
+            )
+            codes[:, m] = d2.argmin(axis=1).astype(np.int16)
+        return pd.Series(list(codes), index=vecs.index)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vecs: pd.Series, n: pd.Series) -> pd.Series:
+        sims = _norm_mat(vecs) @ b_cents.value.T
+        npp = int(n.iloc[0])
+        order = np.argsort(-sims, axis=1)[:, :npp].astype(np.int32)
+        return pd.Series(list(order), index=vecs.index)
+
+    t_short = k * refine
+
+    def adc_cell(key, q_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        """Per-cell ADC scoring (cogroup): ONE (queries x 256) dot table
+        per subspace, a fancy-index gather per candidate block, local
+        top-t per query. Query vectors ride to a cell once per probe (not
+        once per candidate), and only skinny (q_id, vec_id, adc) rows
+        leave — the code frame's vectors are never materialized at all.
+        Candidate blocks of <=64k bound the score matrix regardless of
+        cell size."""
+        if q_pdf.empty or c_pdf.empty:
+            return pd.DataFrame(
+                {"q_id": pd.Series(dtype="int64"),
+                 "vec_id": pd.Series(dtype="int64"),
+                 "adc": pd.Series(dtype="float64")}
+            )
+        bk = b_books.value
+        m_, _nc, ds_ = bk.shape
+        # vec_id-sorted candidates: argpartition then resolves score ties
+        # the same way on every run (shuffle arrival order varies)
+        c_pdf = c_pdf.sort_values("vec_id")
+        qm = _norm_mat(q_pdf["q_vec"])
+        q_ids = q_pdf["q_id"].to_numpy()
+        c_ids = c_pdf["vec_id"].to_numpy()
+        cm = np.stack([np.asarray(c, dtype=np.int64) for c in c_pdf["codes"]])
+        tables = [
+            qm[:, m * ds_ : (m + 1) * ds_] @ bk[m].T for m in range(m_)
+        ]  # each (nq, 256)
+        out_q, out_v, out_s = [], [], []
+        block = max(1, (1 << 22) // max(len(qm), 1))
+        for lo in range(0, len(c_ids), block):
+            hi = min(lo + block, len(c_ids))
+            scores = tables[0][:, cm[lo:hi, 0]]
+            for m in range(1, m_):
+                scores = scores + tables[m][:, cm[lo:hi, m]]  # (nq, block)
+            # a query's own vector must not occupy a shortlist slot
+            scores[c_ids[lo:hi][None, :] == q_ids[:, None]] = -np.inf
+            t = min(t_short, scores.shape[1])
+            part = np.argpartition(-scores, t - 1, axis=1)[:, :t]
+            out_q.append(np.repeat(q_ids, t))
+            out_v.append(c_ids[lo:hi][part.ravel()])
+            out_s.append(np.take_along_axis(scores, part, axis=1).ravel())
+        return pd.DataFrame(
+            {
+                "q_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "adc": np.concatenate(out_s),
+            }
+        )
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    # compact code frame: the ONLY per-corpus-row state the search scans
+    code_frame = base.select(
+        "vec_id",
+        F.element_at(probe_cells("vec", F.lit(1)), 1).alias("cell"),
+        encode_pq("vec").alias("codes"),
+    )
+    queries = base.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.explode(probe_cells("vec", F.lit(n_probe))).alias("cell"),
+    )
+    scored_local = (
+        queries.groupBy("cell")
+        .cogroup(code_frame.groupBy("cell"))
+        .applyInPandas(adc_cell, "q_id long, vec_id long, adc double")
+        .where(F.col("q_id") != F.col("vec_id"))
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), "vec_id")
+    shortlist = (
+        scored_local.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= t_short)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    refined = with_cosine(
+        shortlist.join(
+            base.select(
+                F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+            ),
+            "q_id",
+        ).join(
+            base.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("n_vec")
+            ),
+            "neighbor_id",
+        ),
+        "q_vec",
+        "n_vec",
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("q_id").alias("vec_id"), "neighbor_id", "rank", "cosine")
     )

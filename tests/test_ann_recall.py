@@ -173,6 +173,45 @@ def test_ivf_recall_on_partition_correlated_layout(spark):
     assert recall >= 0.9, f"IVF recall@1 on sorted layout = {recall:.3f}"
 
 
+def test_ivf_pq_recall_vs_exact(spark):
+    """IVF-PQ (compact-code candidate scan + exact re-rank) holds recall
+    on a clustered corpus: the ADC shortlist may misorder near-ties, but
+    the k*refine exact re-rank recovers them."""
+    import numpy as np
+
+    from ordinarydumpdeduplicator_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+    from tests.test_similarity import EMB_SCHEMA
+
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((30, 32))
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    rows = []
+    for i in range(600):
+        v = centers[i % 30] + 0.05 * rng.standard_normal(32)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, schema=EMB_SCHEMA).cache()
+    exact = {
+        (r.vec_id, r.neighbor_id) for r in brute_force_topk(df, k=3).collect()
+    }
+    got_rows = ivf_pq_topk(
+        df, k=3, n_cells=32, n_probe=4, m_subspaces=8
+    ).collect()
+    got = {(r.vec_id, r.neighbor_id) for r in got_rows}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"ivf_pq recall@3 = {recall:.3f}"
+    # returned cosine is the EXACT cosine (re-ranked), not the ADC score
+    by_pair = {(r.vec_id, r.neighbor_id): r.cosine for r in got_rows}
+    vecs = {r.vec_id: np.asarray(r.embedding) for r in df.collect()}
+    for (q, n), c in list(by_pair.items())[:20]:
+        a, b = vecs[q], vecs[n]
+        true_c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        # 1e-6: JVM HOF fold vs numpy dot differ only in summation order
+        assert abs(true_c - c) < 1e-6
+
+
 def test_embedding_lsh_pairs_recall_and_precision(spark):
     import numpy as np
 

@@ -35,6 +35,9 @@ HEADLINE = [
     "topk_similar",
     "exact_substring_spans",
     "corpus_filter",
+    "repetition_stats",
+    "decontamination",
+    "ivf_pq_topk",
 ]
 
 
