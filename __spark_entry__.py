@@ -443,6 +443,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exercises actual drops at driver scale
         return semantic_dedup(emb, threshold=0.4, n_cells=16)
 
+    # ----- corpus ops: sampling / packing / quality / incremental ingest
+
+    def q_stratified_sample(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        return stratified_sample(
+            _docs(spark, sf).select("doc_id", "lang", "source"),
+            rates={"en": 0.25, "de": 0.5, "fr": 1.0, "es": 0.75},
+            default_rate=0.1,
+            salt="mix",
+        )
+
+    def q_sequence_packing(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        return pack_sequences(_docs(spark, sf), budget=64)
+
+    def q_token_freq_quality(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.text_analysis import (
+            token_freq_quality,
+        )
+
+        return token_freq_quality(_docs(spark, sf), top_k=32, rare_max=2)
+
+    def q_incremental_new_docs(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.bloom_dedup import (
+            incremental_new_docs,
+        )
+        from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+            normalized_text,
+        )
+
+        keyed = _docs(spark, sf).select(
+            "doc_id",
+            "lang",
+            "source",
+            F.sha2(normalized_text(F.col("text")), 256).alias("content_sha"),
+        )
+        hist = keyed.filter(F.col("doc_id") % 5 != 0)
+        batch = keyed.filter(F.col("doc_id") % 5 == 0)
+        return incremental_new_docs(
+            hist, batch, "content_sha", n_shards=8, bits_per_shard=1 << 16
+        ).select("doc_id", "lang", "source", "content_sha")
+
     return {
         "exact_text_groups": q_exact_text_groups,
         "dup_text_groups": q_dup_text_groups,
@@ -482,6 +530,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_stats": q_substring_dup_stats,
         "corpus_filter": q_corpus_filter,
         "semantic_dedup": q_semantic_dedup,
+        "stratified_sample": q_stratified_sample,
+        "sequence_packing": q_sequence_packing,
+        "token_freq_quality": q_token_freq_quality,
+        "incremental_new_docs": q_incremental_new_docs,
     }
 
 
@@ -918,7 +970,88 @@ def oracle_sql() -> dict[str, str]:
         # semantic_dedup stays rows-only: driver-side k-means quantizer —
         # the greedy within-cell rule is numpy-pinned in
         # tests/test_substring_dedup.py
+        "stratified_sample": _stratified_sample_sql(),
+        "sequence_packing": f"""
+            WITH t AS (
+              SELECT doc_id, source AS part,
+                     len({_TOKS})::BIGINT AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, part, n_tokens,
+                     sum(n_tokens) OVER (
+                       PARTITION BY part ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            )
+            SELECT doc_id, part, n_tokens,
+                   (cum - n_tokens)::BIGINT AS start_offset,
+                   ((cum - n_tokens) // 64)::BIGINT AS seq_id,
+                   (greatest(cum - 1, cum - n_tokens) // 64)::BIGINT
+                     AS end_seq_id,
+                   ((greatest(cum - 1, cum - n_tokens) // 64)
+                    - ((cum - n_tokens) // 64) + 1)::BIGINT AS n_seqs_spanned
+            FROM c
+        """,
+        "token_freq_quality": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ),
+            vocab AS (
+              SELECT tok, count(*)::BIGINT AS freq FROM toks
+              GROUP BY tok ORDER BY freq DESC, tok LIMIT 32
+            ),
+            scored AS (
+              SELECT t.doc_id,
+                     count(*)::BIGINT AS n_tokens,
+                     sum(coalesce(v.freq, 0))::BIGINT AS sum_token_freq,
+                     sum(CASE WHEN coalesce(v.freq, 0) <= 2
+                         THEN 1 ELSE 0 END)::BIGINT AS n_rare_tokens,
+                     sum(CASE WHEN v.freq IS NULL
+                         THEN 1 ELSE 0 END)::BIGINT AS n_oov_tokens
+              FROM toks t LEFT JOIN vocab v USING (tok)
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(s.sum_token_freq, 0)::BIGINT AS sum_token_freq,
+                   coalesce(s.n_rare_tokens, 0)::BIGINT AS n_rare_tokens,
+                   coalesce(s.n_oov_tokens, 0)::BIGINT AS n_oov_tokens
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        # the bloom filter is a work-avoidance device; the OUTPUT contract
+        # is exactly the anti-join (operators/bloom_dedup docstring)
+        "incremental_new_docs": f"""
+            SELECT b.doc_id, b.lang, b.source,
+                   sha256({_NORM.replace("text", "b.text")}) AS content_sha
+            FROM documents b
+            ANTI JOIN (
+              SELECT DISTINCT sha256({_NORM}) AS content_sha
+              FROM documents WHERE doc_id % 5 <> 0
+            ) h ON sha256({_NORM.replace("text", "b.text")}) = h.content_sha
+            WHERE b.doc_id % 5 = 0
+        """,
     }
+
+
+def _stratified_sample_sql() -> str:
+    """DuckDB replay of the md5-threshold stratified sampler: identical
+    per-stratum hex cut literals from the SAME fraction_to_hex_threshold,
+    compared against the same lowercase-hex md5 digest."""
+    from ordinarydumpdeduplicator_spark.operators.sampling import (
+        fraction_to_hex_threshold as thr,
+    )
+
+    rates = {"en": 0.25, "de": 0.5, "fr": 1.0, "es": 0.75}
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{thr(rate)}'"
+        for lang, rate in sorted(rates.items())
+    )
+    return f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE md5('mix:' || CAST(doc_id AS VARCHAR))
+              < CASE lang {cases} ELSE '{thr(0.1)}' END
+    """
 
 
 def _substring_spans_sql(k: int, toks_source: str | None = None) -> str:

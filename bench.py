@@ -126,6 +126,7 @@ def main() -> None:
         "corpus_filter",
         "semantic_dedup",
         "ivf_pq_topk",
+        "incremental_new_docs",
     ]
     for name in headline:
         fn = qs[name]

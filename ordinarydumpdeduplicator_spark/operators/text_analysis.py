@@ -219,3 +219,80 @@ def repetition_stats(
             .alias("dup_ngram_positions"),
         )
     )
+
+
+def token_freq_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 65536,
+    rare_max: int = 2,
+) -> DataFrame:
+    """Corpus-frequency quality signals: a CCNet-style language-model
+    score replaced by its integer-exact proxy. Documents dominated by
+    tokens the corpus has (almost) never seen are gibberish/OCR noise;
+    documents of only ultra-common tokens are boilerplate. Pipelines
+    threshold on n_rare_tokens / n_tokens and sum_token_freq / n_tokens.
+
+    Two stages, both all-integer (hash-exact against the DuckDB oracle):
+
+    1. vocab: token -> corpus count, truncated to the ``top_k`` most
+       frequent (ties broken by token text — deterministic). At web
+       scale the full vocab is unbounded (typos, hashes); the truncated
+       vocab is the thing small enough to broadcast.
+    2. score: explode each doc's tokens, map-side join against the
+       broadcast vocab (tokens outside it count as frequency 0), per-doc
+       sums. No shuffle touches the corpus-sized token stream except the
+       final (doc_id) aggregation, which partial-aggregates map-side.
+
+    Outputs per doc: n_tokens, sum_token_freq (sum of corpus counts over
+    token *positions*, 0 for out-of-vocab), n_rare_tokens (positions
+    whose corpus count <= ``rare_max`` or out-of-vocab), n_oov_tokens
+    (positions outside the top-k vocab)."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+    )
+    toks = base.select("doc_id", F.explode("toks").alias("tok"))
+    # orderBy+limit = TakeOrderedAndProject: per-partition top-k then a
+    # driver merge of k-row heads — NOT a global sort (a row_number window
+    # here would single-partition the whole vocab). Full sort key makes
+    # the truncation deterministic.
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok"))
+        .limit(top_k)
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("freq", F.lit(0))).alias("sum_token_freq"),
+            F.sum(
+                F.when(
+                    F.coalesce("freq", F.lit(0)) <= rare_max, F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_rare_tokens"),
+            F.sum(
+                F.when(F.col("freq").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov_tokens"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("sum_token_freq", F.lit(0))
+            .cast("long")
+            .alias("sum_token_freq"),
+            F.coalesce("n_rare_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_rare_tokens"),
+            F.coalesce("n_oov_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_oov_tokens"),
+        )
+    )

@@ -1,0 +1,226 @@
+"""Tests for the round-2 corpus operators: deterministic sampling,
+sequence packing, token-frequency quality, bloom-assisted incremental
+dedup."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ordinarydumpdeduplicator_spark.operators.bloom_dedup import (
+    bloom_probe,
+    bloom_shards,
+    incremental_new_docs,
+)
+from ordinarydumpdeduplicator_spark.operators.packing import pack_sequences
+from ordinarydumpdeduplicator_spark.operators.sampling import (
+    deterministic_sample,
+    fraction_to_hex_threshold,
+    stratified_sample,
+)
+from ordinarydumpdeduplicator_spark.operators.text_analysis import (
+    token_freq_quality,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"alpha beta {'gamma ' * (i % 4)}tok{i % 7}", ["en", "de"][i % 2],
+         f"src{i % 3}")
+        for i in range(400)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).cache()
+
+
+# ------------------------------------------------------------------ sampling
+
+
+def test_hex_threshold_edges():
+    assert fraction_to_hex_threshold(0.0) == "0" * 32
+    assert fraction_to_hex_threshold(1.0) == "g"
+    assert fraction_to_hex_threshold(0.5) == "8" + "0" * 31
+    # monotone in fraction
+    assert fraction_to_hex_threshold(0.25) < fraction_to_hex_threshold(0.75)
+
+
+def test_deterministic_sample_stable_and_unbiased(docs):
+    a = sorted(r.doc_id for r in deterministic_sample(docs, 0.5).collect())
+    b = sorted(
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(7), 0.5).collect()
+    )
+    assert a == b, "sample must not depend on partitioning"
+    assert 120 <= len(a) <= 280  # ~200 of 400, very loose binomial bound
+    # smaller fraction with the same salt is a SUBSET (nested samples)
+    small = {r.doc_id for r in deterministic_sample(docs, 0.2).collect()}
+    assert small <= set(a)
+    # different salt re-draws
+    other = {
+        r.doc_id for r in deterministic_sample(docs, 0.5, salt="v2").collect()
+    }
+    assert other != set(a)
+
+
+def test_stratified_rates(docs):
+    kept = stratified_sample(docs, {"en": 1.0, "de": 0.0}).collect()
+    assert {r.lang for r in kept} == {"en"}
+    assert len(kept) == 200
+    # default_rate applies to strata missing from the dict
+    kept2 = stratified_sample(docs, {"en": 0.0}, default_rate=1.0).collect()
+    assert {r.lang for r in kept2} == {"de"}
+
+
+# ------------------------------------------------------------------- packing
+
+
+def test_pack_sequences_hand_example(spark):
+    rows = [
+        (1, "a", "w x y z"),       # 4 toks: offsets 0-3, seq 0
+        (2, "a", "p q r"),         # 3 toks: offsets 4-6, seq 0->1 (budget 5)
+        (3, "a", ""),              # empty: offset 7, stays seq 1
+        (4, "a", "m n o t u v w"), # 7 toks: offsets 7-13, seq 1->2
+        (5, "b", "h i"),           # separate part restarts at offset 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.doc_id: r.asDict()
+        for r in pack_sequences(df, budget=5).collect()
+    }
+    assert got[1]["start_offset"] == 0 and got[1]["seq_id"] == 0
+    assert got[1]["end_seq_id"] == 0 and got[1]["n_seqs_spanned"] == 1
+    assert got[2]["start_offset"] == 4 and got[2]["seq_id"] == 0
+    assert got[2]["end_seq_id"] == 1 and got[2]["n_seqs_spanned"] == 2
+    assert got[3]["n_tokens"] == 0 and got[3]["start_offset"] == 7
+    assert got[3]["seq_id"] == 1 and got[3]["n_seqs_spanned"] == 1
+    assert got[4]["start_offset"] == 7 and got[4]["end_seq_id"] == 2
+    assert got[5]["start_offset"] == 0 and got[5]["seq_id"] == 0
+
+
+def test_pack_sequences_total_tokens_consistent(docs):
+    out = pack_sequences(docs, budget=16).collect()
+    by_part: dict[str, list] = {}
+    for r in out:
+        by_part.setdefault(r.part, []).append(r)
+    for part, rows in by_part.items():
+        rows.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rows:
+            assert r.start_offset == off, (part, r)
+            assert r.seq_id == off // 16
+            off += r.n_tokens
+
+
+# ------------------------------------------------------------------- quality
+
+
+def test_token_freq_quality_hand_example(spark):
+    rows = [
+        (1, "the the the"),      # 'the' freq 4 corpus-wide
+        (2, "the zzz"),          # zzz freq 1 -> rare
+        (3, None),               # null text -> zero row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in token_freq_quality(df).collect()}
+    assert got[1] == {
+        "doc_id": 1, "n_tokens": 3, "sum_token_freq": 12,
+        "n_rare_tokens": 0, "n_oov_tokens": 0,
+    }
+    assert got[2]["sum_token_freq"] == 4 + 1
+    assert got[2]["n_rare_tokens"] == 1
+    assert got[3]["n_tokens"] == 0 and got[3]["sum_token_freq"] == 0
+
+
+def test_token_freq_quality_topk_truncation(spark):
+    # vocab of 3 tokens, top_k=1 keeps only the most frequent ('a');
+    # everything else is out-of-vocab -> freq 0, rare, oov
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.asDict()
+        for r in token_freq_quality(df, top_k=1).collect()
+    }
+    assert got[1]["sum_token_freq"] == 3 + 3 + 0
+    assert got[1]["n_oov_tokens"] == 1
+    assert got[2]["n_oov_tokens"] == 1 and got[2]["n_rare_tokens"] == 1
+
+
+# --------------------------------------------------------------------- bloom
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    """History/batch with real overlap: 60 of 100 batch keys are dups."""
+    hist = spark.createDataFrame(
+        [(i, f"sha{i}") for i in range(500)], "doc_id long, content_sha string"
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, f"sha{i if i < 60 else 10_000 + i}") for i in range(100)],
+        "doc_id long, content_sha string",
+    )
+    return hist.cache(), batch.cache()
+
+
+def test_bloom_no_false_negatives(spark, keyed):
+    hist, batch = keyed
+    blooms = bloom_shards(hist.select("content_sha"), "content_sha",
+                          n_shards=8, bits_per_shard=1 << 12)
+    flagged = bloom_probe(batch, blooms, "content_sha",
+                          n_shards=8, bits_per_shard=1 << 12)
+    hits = {r.content_sha for r in
+            flagged.filter("might_contain").collect()}
+    true_dups = {f"sha{i}" for i in range(60)}
+    assert true_dups <= hits, "bloom must never miss a present key"
+
+
+def test_incremental_new_docs_exact_vs_antijoin(spark, keyed):
+    hist, batch = keyed
+    got = sorted(
+        r.doc_id
+        for r in incremental_new_docs(
+            hist, batch, "content_sha", n_shards=8, bits_per_shard=1 << 12
+        ).collect()
+    )
+    want = sorted(
+        r.doc_id
+        for r in batch.join(
+            hist.select("content_sha"), "content_sha", "left_anti"
+        ).collect()
+    )
+    assert got == want == sorted(1000 + i for i in range(60, 100))
+
+
+def test_bloom_fpp_is_small(spark):
+    """Tight-enough bitmap: ~1% of certainly-absent keys flag as hits,
+    i.e. the verify join's probe side is the sliver the docstring
+    promises (here: <10% at 10 bits/key, seed-free deterministic)."""
+    spark_hist = spark.createDataFrame(
+        [(f"h{i}",) for i in range(2000)], "content_sha string"
+    )
+    probe_only = spark.createDataFrame(
+        [(i, f"absent{i}") for i in range(2000)],
+        "doc_id long, content_sha string",
+    )
+    blooms = bloom_shards(spark_hist, "content_sha",
+                          n_shards=8, bits_per_shard=1 << 12)  # ~16 bits/key
+    flagged = bloom_probe(probe_only, blooms, "content_sha",
+                          n_shards=8, bits_per_shard=1 << 12)
+    n_hits = flagged.filter("might_contain").count()
+    assert n_hits < 200, f"fpp too high: {n_hits}/2000"
+
+
+def test_incremental_new_docs_with_persisted_blooms(spark, keyed, tmp_path):
+    hist, batch = keyed
+    path = str(tmp_path / "blooms")
+    bloom_shards(hist.select("content_sha"), "content_sha",
+                 n_shards=8, bits_per_shard=1 << 12).write.parquet(path)
+    blooms = spark.read.parquet(path)
+    got = incremental_new_docs(
+        hist, batch, "content_sha",
+        n_shards=8, bits_per_shard=1 << 12, blooms=blooms,
+    ).count()
+    assert got == 40
