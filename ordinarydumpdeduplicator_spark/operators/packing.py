@@ -52,25 +52,32 @@ def pack_sequences(
     docstring for the exact semantics)."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    n_tokens = token_count_col(F.col(text_col)).cast("long")
-    w = (
-        Window.partitionBy(part_col)
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum(n_tokens).over(w)
-    start = (cum - n_tokens).alias("start_offset")
-    seq_id = F.floor((cum - n_tokens) / budget).alias("seq_id")
-    # last token sits at cum-1; empty docs keep the start chunk
-    end_seq = F.floor(
-        F.greatest(cum - F.lit(1), cum - n_tokens) / budget
-    ).alias("end_seq_id")
-    return docs.select(
+    # materialize n_tokens BEFORE the window so (a) the text column is
+    # pruned before the Exchange (only 3 skinny columns shuffle) and
+    # (b) the tokenizer expression evaluates once, not once per output
+    # column (plan-gated in tests/test_plans.py)
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(part_col).alias("part"),
-        n_tokens.alias("n_tokens"),
-        start,
-        seq_id,
-        end_seq,
+        F.col(order_col).alias("__ord"),
+        token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy("__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    seq_id = F.floor(start / budget)
+    # last token sits at cum-1; empty docs keep the start chunk
+    end_seq = F.floor(F.greatest(F.col("cum") - F.lit(1), start) / budget)
+    return cum.select(
+        "doc_id",
+        "part",
+        "n_tokens",
+        start.alias("start_offset"),
+        seq_id.alias("seq_id"),
+        end_seq.alias("end_seq_id"),
         (end_seq - seq_id + F.lit(1)).alias("n_seqs_spanned"),
     )

@@ -78,3 +78,48 @@ def test_bytes_never_shuffled(spark, tiny_images):
 def test_anti_join_strategy(spark, queries):
     plan = plan_of(queries["orders_fully_shipped_early"](spark, SF))
     assert "LeftAnti" in plan
+
+
+def test_stratified_sample_is_map_only(spark, queries):
+    """The deterministic sampler must stay a pure per-row filter: no
+    Exchange, no UDF worker — one codegen'd scan+filter."""
+    plan = plan_of(queries["stratified_sample"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no Arrow/Batch eval nodes
+    read = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "text" not in read, "sampler must not read the text column"
+
+
+def test_sequence_packing_single_shuffle(spark, queries):
+    """Packing is ONE running-sum window: exactly one Exchange (on the
+    part key), no joins, no Python — and the text column is pruned
+    before the shuffle (only skinny token counts move)."""
+    import re
+
+    plan = plan_of(queries["sequence_packing"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan and "Python" not in plan
+    exchange_detail = plan.split(") Exchange", 1)[1].split("\n\n", 1)[0]
+    assert "text" not in exchange_detail, "text must not shuffle"
+
+
+def test_token_freq_quality_vocab_shape(spark, queries):
+    """The truncated vocab must be TakeOrderedAndProject (per-partition
+    top-k, not a global sort) and must reach the token stream as a
+    BroadcastHashJoin — the corpus-sized side never shuffles for the
+    score join."""
+    plan = plan_of(queries["token_freq_quality"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_dedup_history_join_only_on_hits(spark, queries):
+    """The verify anti-join's probe side must be the bloom-hit filter
+    output, not the whole batch: the plan filters on might_contain
+    BEFORE the join with history keys."""
+    plan = plan_of(queries["incremental_new_docs"](spark, SF), "extended")
+    phys = plan.split("== Physical Plan ==", 1)[1]
+    assert "might_contain" in phys
+    # and the bitmap build/probe stays in cogrouped Arrow workers
+    assert "FlatMapCoGroupsInPandas" in phys
