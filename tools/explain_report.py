@@ -38,6 +38,10 @@ HEADLINE = [
     "repetition_stats",
     "decontamination",
     "ivf_pq_topk",
+    "stratified_sample",
+    "sequence_packing",
+    "token_freq_quality",
+    "incremental_new_docs",
 ]
 
 
