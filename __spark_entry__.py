@@ -540,7 +540,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------- oracle_sql
 
 _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
-_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+def _norm_expr(col: str = "text") -> str:
+    """The normalized-text expression over an explicit column reference
+    (parameterized like _substring_spans_sql's toks_source — no string
+    surgery on the default)."""
+    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+_NORM = _norm_expr()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -974,7 +981,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing": f"""
             WITH t AS (
               SELECT doc_id, source AS part,
-                     len({_TOKS})::BIGINT AS n_tokens
+                     coalesce(len({_TOKS}), 0)::BIGINT AS n_tokens
               FROM documents
             ),
             c AS (
@@ -1023,12 +1030,12 @@ def oracle_sql() -> dict[str, str]:
         # is exactly the anti-join (operators/bloom_dedup docstring)
         "incremental_new_docs": f"""
             SELECT b.doc_id, b.lang, b.source,
-                   sha256({_NORM.replace("text", "b.text")}) AS content_sha
+                   sha256({_norm_expr("b.text")}) AS content_sha
             FROM documents b
             ANTI JOIN (
               SELECT DISTINCT sha256({_NORM}) AS content_sha
               FROM documents WHERE doc_id % 5 <> 0
-            ) h ON sha256({_NORM.replace("text", "b.text")}) = h.content_sha
+            ) h ON sha256({_norm_expr("b.text")}) = h.content_sha
             WHERE b.doc_id % 5 = 0
         """,
     }

@@ -16,17 +16,20 @@ Scale shape — everything stays distributed:
 
 - the bitmap is SHARDED by key hash: ``n_shards`` rows of
   ``bits_per_shard/8`` bytes each, built with one applyInPandas pass
-  over history keys (per-shard, partial work map-side via the shuffle)
-  and persistable as a table — at 10^12 keys / 1% fpp the full bitmap
-  is ~1.2 TB, far beyond a driver or a broadcast, but each shard is
-  executor-sized and co-partitioned with its probes;
+  over history keys and persistable as a table — at 10^12 keys / 1% fpp
+  the full bitmap is ~1.2 TB, far beyond a driver or a broadcast, but
+  each shard is executor-sized and co-partitioned with its probes; the
+  build parameters ride along as columns and are VALIDATED at probe
+  time (a mismatched probe would silently emit duplicates as new);
 - the probe COGROUPS batch keys with their shard's bitmap row — one
   shuffle of the (small) batch, never a per-row copy of bitmap bytes
   (a broadcast-join + scalar UDF would Arrow-copy the bitmap onto
   every row);
-- bit positions use double hashing (Kirsch–Mitzenmacher 2006) over the
-  key's MD5, the repo-standard mixing family
-  (functions/text.shingle_hash64) — process-stable, engine-stable.
+- every key is MD5-hashed exactly ONCE (one pandas pass computes
+  shard + both double-hash bases; build and probe reuse the same
+  columns), with bit positions by double hashing (Kirsch–Mitzenmacher
+  2006) — the repo-standard mixing family
+  (functions/text.shingle_hash64), process-stable, engine-stable.
 """
 
 from __future__ import annotations
@@ -36,11 +39,24 @@ from collections.abc import Iterable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_BITS_PER_SHARD = 1 << 20  # 128 KiB per shard row
 DEFAULT_K_HASHES = 7
+
+_PARAM_COLS = ("n_shards", "bits_per_shard", "k_hashes")
+
+
+def _check_params(n_shards: int, bits_per_shard: int, k_hashes: int) -> None:
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if bits_per_shard <= 0 or bits_per_shard % 8 != 0:
+        raise ValueError(
+            f"bits_per_shard must be a positive multiple of 8, got {bits_per_shard}"
+        )
+    if k_hashes <= 0:
+        raise ValueError(f"k_hashes must be positive, got {k_hashes}")
 
 
 def _h1h2(keys: Iterable[str]) -> tuple[np.ndarray, np.ndarray]:
@@ -55,8 +71,25 @@ def _h1h2(keys: Iterable[str]) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2
 
 
-def shard_of(h1: np.ndarray, n_shards: int) -> np.ndarray:
-    return (h1 % np.uint64(n_shards)).astype(np.int32)
+def _hash_cols(key: Column, n_shards: int) -> Column:
+    """ONE hashing pass per key: struct(shard, h1, h2). Build and probe
+    both consume these columns, so shard assignment cannot drift between
+    them and no key is ever hashed twice. h1/h2 are stored as the int64
+    bit patterns of the uint64 values (Spark has no unsigned type)."""
+
+    @F.pandas_udf("shard int, h1 long, h2 long")
+    def udf(s: pd.Series) -> pd.DataFrame:
+        h1, h2 = _h1h2(s.tolist())
+        return pd.DataFrame(
+            {
+                "shard": (h1 % np.uint64(n_shards)).astype(np.int32),
+                "h1": h1.view(np.int64),
+                "h2": h2.view(np.int64),
+            },
+            index=s.index,
+        )
+
+    return udf(key)
 
 
 def _positions(
@@ -69,6 +102,13 @@ def _positions(
     )
 
 
+def _keyed(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
+    return df.select(
+        F.col(key_col).cast("string").alias("__key"),
+        _hash_cols(F.col(key_col).cast("string"), n_shards).alias("__h"),
+    ).select("__key", "__h.shard", "__h.h1", "__h.h2")
+
+
 def bloom_shards(
     keys: DataFrame,
     key_col: str = "key",
@@ -76,31 +116,104 @@ def bloom_shards(
     bits_per_shard: int = DEFAULT_BITS_PER_SHARD,
     k_hashes: int = DEFAULT_K_HASHES,
 ) -> DataFrame:
-    """History keys -> one (shard, bits) bitmap row per shard.
+    """History keys -> one (shard, bits, <params>) bitmap row per shard.
 
     Persist the result (it is the ingest index); rebuild cost is one
     shuffle of history keys by shard. Size ``bits_per_shard * n_shards``
-    to ~10 bits per expected key for ~1% fpp."""
+    to ~10 bits per expected key for ~1% fpp. The parameter columns let
+    ``bloom_probe`` reject a probe configured differently from the
+    build — a mismatch would otherwise emit duplicates as new."""
+    _check_params(n_shards, bits_per_shard, k_hashes)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        h1, h2 = _h1h2(pdf["__key"].tolist())
+        h1 = pdf["h1"].to_numpy().view(np.uint64)
+        h2 = pdf["h2"].to_numpy().view(np.uint64)
         bmp = np.zeros(bits_per_shard // 8, dtype=np.uint8)
         pos = _positions(h1, h2, bits_per_shard, k_hashes).ravel()
         np.bitwise_or.at(bmp, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
         return pd.DataFrame(
-            {"shard": [int(pdf["__shard"].iloc[0])], "bits": [bmp.tobytes()]}
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "bits": [bmp.tobytes()],
+                "n_shards": [n_shards],
+                "bits_per_shard": [bits_per_shard],
+                "k_hashes": [k_hashes],
+            }
         )
 
-    @F.pandas_udf("int")
-    def shard_udf(s: pd.Series) -> pd.Series:
-        h1, _ = _h1h2(s.tolist())
-        return pd.Series(shard_of(h1, n_shards), index=s.index)
-
     return (
-        keys.select(F.col(key_col).cast("string").alias("__key"))
-        .withColumn("__shard", shard_udf("__key"))
-        .groupBy("__shard")
-        .applyInPandas(build, "shard int, bits binary")
+        _keyed(keys, key_col, n_shards)
+        .groupBy("shard")
+        .applyInPandas(
+            build,
+            "shard int, bits binary, n_shards int, bits_per_shard int, "
+            "k_hashes int",
+        )
+    )
+
+
+def _validate_blooms(
+    blooms: DataFrame, n_shards: int, bits_per_shard: int, k_hashes: int
+) -> None:
+    """Fail LOUDLY when a persisted blooms table was built with different
+    parameters than the probe is using (the silent failure mode: keys
+    hash to shards with no bitmap row -> might_contain=False -> true
+    duplicates bypass verification). The blooms frame is n_shards rows,
+    so .first() is cheap."""
+    if not set(_PARAM_COLS) <= set(blooms.columns):
+        raise ValueError(
+            "blooms table lacks parameter columns "
+            f"{_PARAM_COLS} — rebuild it with bloom_shards()"
+        )
+    row = blooms.select(*_PARAM_COLS).first()
+    if row is None:
+        return  # empty history: every probe misses, which is correct
+    got = (row["n_shards"], row["bits_per_shard"], row["k_hashes"])
+    want = (n_shards, bits_per_shard, k_hashes)
+    if got != want:
+        raise ValueError(
+            f"bloom parameter mismatch: table built with "
+            f"(n_shards, bits_per_shard, k_hashes)={got}, probe uses {want}"
+        )
+
+
+def _probe_flags(
+    batch: DataFrame,
+    blooms: DataFrame,
+    key_col: str,
+    n_shards: int,
+    bits_per_shard: int,
+    k_hashes: int,
+) -> DataFrame:
+    """Distinct batch keys -> (key_col, might_contain), via a cogroup on
+    shard (the bitmap row rides to its probes ONCE per shard, not per
+    row). Batch payload columns never enter the Python worker."""
+    _check_params(n_shards, bits_per_shard, k_hashes)
+    _validate_blooms(blooms, n_shards, bits_per_shard, k_hashes)
+
+    def probe(probes: pd.DataFrame, bmp_pdf: pd.DataFrame) -> pd.DataFrame:
+        if probes.empty:
+            return pd.DataFrame({"__key": pd.Series(dtype="object"),
+                                 "might_contain": pd.Series(dtype="bool")})
+        keys = probes["__key"].tolist()
+        if bmp_pdf.empty:  # shard never seen in history
+            return pd.DataFrame({"__key": keys,
+                                 "might_contain": [False] * len(keys)})
+        bmp = np.frombuffer(bmp_pdf["bits"].iloc[0], dtype=np.uint8)
+        h1 = probes["h1"].to_numpy().view(np.uint64)
+        h2 = probes["h2"].to_numpy().view(np.uint64)
+        pos = _positions(h1, h2, bits_per_shard, k_hashes)
+        hit = (
+            (bmp[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        ).all(axis=1)
+        return pd.DataFrame({"__key": keys, "might_contain": hit})
+
+    probes = _keyed(batch.select(key_col).distinct(), key_col, n_shards)
+    return (
+        probes.groupBy("shard")
+        .cogroup(blooms.groupBy("shard"))
+        .applyInPandas(probe, "__key string, might_contain boolean")
+        .withColumnRenamed("__key", key_col)
     )
 
 
@@ -112,45 +225,14 @@ def bloom_probe(
     bits_per_shard: int = DEFAULT_BITS_PER_SHARD,
     k_hashes: int = DEFAULT_K_HASHES,
 ) -> DataFrame:
-    """Batch + boolean ``might_contain`` column, via a cogroup on shard
-    (the bitmap row rides to its probes ONCE per shard, not per row).
-    Output carries only (key, might_contain) joined back onto the batch
-    by key — batch payload columns never enter the Python worker."""
-
-    @F.pandas_udf("int")
-    def shard_udf(s: pd.Series) -> pd.Series:
-        h1, _ = _h1h2(s.tolist())
-        return pd.Series(shard_of(h1, n_shards), index=s.index)
-
-    def probe(_key, probes: pd.DataFrame, bmp_pdf: pd.DataFrame) -> pd.DataFrame:
-        if probes.empty:
-            return pd.DataFrame({"__key": pd.Series(dtype="str"),
-                                 "might_contain": pd.Series(dtype="bool")})
-        keys = probes["__key"].tolist()
-        if bmp_pdf.empty:  # shard never seen in history
-            return pd.DataFrame({"__key": keys,
-                                 "might_contain": [False] * len(keys)})
-        bmp = np.frombuffer(bmp_pdf["bits"].iloc[0], dtype=np.uint8)
-        h1, h2 = _h1h2(keys)
-        pos = _positions(h1, h2, bits_per_shard, k_hashes)
-        hit = (
-            (bmp[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
-        ).all(axis=1)
-        return pd.DataFrame({"__key": keys, "might_contain": hit})
-
-    probes = (
-        batch.select(F.col(key_col).cast("string").alias("__key"))
-        .distinct()
-        .withColumn("__shard", shard_udf("__key"))
+    """Batch + boolean ``might_contain`` column (see ``_probe_flags``).
+    ``key_col`` must be string-typed (content hashes are)."""
+    flags = _probe_flags(
+        batch, blooms, key_col, n_shards, bits_per_shard, k_hashes
     )
-    flags = (
-        probes.groupBy("__shard")
-        .cogroup(blooms.groupBy("shard"))
-        .applyInPandas(probe, "__key string, might_contain boolean")
+    return batch.join(flags, key_col, "left").fillna(
+        {"might_contain": False}
     )
-    return batch.join(
-        flags.withColumnRenamed("__key", key_col), key_col, "left"
-    ).fillna({"might_contain": False})
 
 
 def incremental_new_docs(
@@ -166,7 +248,16 @@ def incremental_new_docs(
     ``key_col`` does not occur in history. Bloom misses bypass the
     history join; hits are verified with a left-anti join whose probe
     side is only the hit sliver. Pass a persisted ``blooms`` table to
-    skip the rebuild (the production shape)."""
+    skip the rebuild (the production shape) — its build parameters are
+    validated against this call's.
+
+    The whole decision runs at KEY level (miss keys ∪ anti-joined hit
+    keys, then one null-safe semi-join back to the batch payload). The
+    naive formulation — flag the payload rows, filter, anti-join — gets
+    REORDERED by Catalyst (PushLeftSemiLeftAntiThroughJoin pushes the
+    anti-join below the flags join), silently sending the full batch to
+    the history join; key-level structure leaves that rule nothing to
+    push through (plan-gated in tests/test_plans.py)."""
     if blooms is None:
         blooms = bloom_shards(
             history.select(key_col),
@@ -175,15 +266,24 @@ def incremental_new_docs(
             bits_per_shard=bits_per_shard,
             k_hashes=k_hashes,
         )
-    flagged = bloom_probe(
-        batch, blooms, key_col,
-        n_shards=n_shards,
-        bits_per_shard=bits_per_shard,
-        k_hashes=k_hashes,
-    )
-    certain_new = flagged.filter(~F.col("might_contain")).drop("might_contain")
-    candidates = flagged.filter(F.col("might_contain")).drop("might_contain")
-    verified_new = candidates.join(
+    # lazy localCheckpoint: the flags frame has TWO consumers (miss and
+    # hit branches of the union) and Spark does not dedupe common
+    # subplans within one query — without the barrier the whole
+    # build+probe subgraph executes twice
+    flags = _probe_flags(
+        batch, blooms, key_col, n_shards, bits_per_shard, k_hashes
+    ).localCheckpoint(eager=False)
+    miss_keys = flags.filter(~F.col("might_contain")).select(key_col)
+    hit_keys = flags.filter(F.col("might_contain")).select(key_col)
+    verified_keys = hit_keys.join(
         history.select(key_col).distinct(), key_col, "left_anti"
     )
-    return certain_new.unionByName(verified_new)
+    new_keys = miss_keys.unionByName(verified_keys)
+    # eqNullSafe: a NULL key (e.g. NULL text) has no history match by
+    # SQL semantics, so it must stay "new" — a plain equi-semi-join
+    # would drop it, diverging from the anti-join oracle
+    return batch.alias("b").join(
+        new_keys.alias("k"),
+        F.col(f"b.{key_col}").eqNullSafe(F.col(f"k.{key_col}")),
+        "left_semi",
+    )

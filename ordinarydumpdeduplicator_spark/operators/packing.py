@@ -13,8 +13,9 @@ the stream is cut every ``budget`` tokens. Each document is assigned
 
 so the trainer-side writer can materialize chunk files and know exactly
 which documents cross boundaries (candidates for document-masked
-attention or re-packing). Empty documents occupy zero tokens and sit at
-their predecessor's end offset, spanning one sequence by convention.
+attention or re-packing). Empty and NULL-text documents occupy zero
+tokens and sit at their predecessor's end offset, spanning one sequence
+by convention.
 
 This is a running-sum window per partition group — no UDF, no join, ONE
 shuffle on ``part_col``. DuckDB expresses the identical windows, so the
@@ -60,7 +61,11 @@ def pack_sequences(
         F.col(id_col).alias("doc_id"),
         F.col(part_col).alias("part"),
         F.col(order_col).alias("__ord"),
-        token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
+        # NULL text = zero tokens (the empty-document convention above);
+        # without the coalesce every downstream coordinate goes NULL
+        F.coalesce(
+            token_count_col(F.col(text_col)).cast("long"), F.lit(0)
+        ).alias("n_tokens"),
     )
     w = (
         Window.partitionBy("part")

@@ -268,18 +268,17 @@ def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 8, seed: int = 7) -> 
     return cents
 
 
-def _train_centroids(
+def _collect_normalized_sample(
     embeddings: DataFrame,
-    n_cells: int,
     sample_size: int,
     id_col: str,
     vec_col: str,
 ) -> np.ndarray:
-    """Seeded coarse-quantizer centroids from a hash-ordered pseudo-random
-    sample: order by a hash of the id and take the top-n (a distributed
+    """Hash-ordered pseudo-random training sample, unit-normalized:
+    order by a hash of the id and take the top-n (a distributed
     TakeOrdered — no full sort, no full scan to the driver). `.limit()`
     alone would take the FIRST partitions only, which on
-    partition-correlated data collapses the centroids."""
+    partition-correlated data collapses the trained centroids."""
     sample_rows = (
         embeddings.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
         .orderBy("h")
@@ -290,7 +289,21 @@ def _train_centroids(
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
     sn = np.linalg.norm(sample, axis=1)
     sn[sn == 0] = 1.0
-    return _kmeans(sample / sn[:, None], n_cells)
+    return sample / sn[:, None]
+
+
+def _train_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    sample_size: int,
+    id_col: str,
+    vec_col: str,
+) -> np.ndarray:
+    """Seeded coarse-quantizer centroids from the shared sample."""
+    return _kmeans(
+        _collect_normalized_sample(embeddings, sample_size, id_col, vec_col),
+        n_cells,
+    )
 
 
 def ivf_topk(
@@ -440,19 +453,7 @@ def ivf_pq_topk(
     # ONE hash-ordered sample collect trains both the coarse quantizer and
     # the PQ codebooks (normalized — queries score against normalized
     # corpus vectors so cosine == dot)
-    sample_rows = (
-        embeddings.select(
-            F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h")
-        )
-        .orderBy("h")
-        .limit(sample_size)
-        .select("v")
-        .collect()
-    )
-    smp = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
-    sn = np.linalg.norm(smp, axis=1)
-    sn[sn == 0] = 1.0
-    smp = smp / sn[:, None]
+    smp = _collect_normalized_sample(embeddings, sample_size, id_col, vec_col)
     cents = _kmeans(smp, n_cells)
     dim = smp.shape[1]
     if dim % m_subspaces != 0:

@@ -224,3 +224,48 @@ def test_incremental_new_docs_with_persisted_blooms(spark, keyed, tmp_path):
         n_shards=8, bits_per_shard=1 << 12, blooms=blooms,
     ).count()
     assert got == 40
+
+
+def test_bloom_param_mismatch_raises(spark, keyed):
+    hist, batch = keyed
+    blooms = bloom_shards(hist.select("content_sha"), "content_sha",
+                          n_shards=8, bits_per_shard=1 << 12)
+    with pytest.raises(ValueError, match="mismatch"):
+        incremental_new_docs(
+            hist, batch, "content_sha",
+            n_shards=32, bits_per_shard=1 << 12, blooms=blooms,
+        ).count()
+    # a blooms frame without parameter columns is rejected outright
+    with pytest.raises(ValueError, match="parameter columns"):
+        bloom_probe(batch, blooms.select("shard", "bits"), "content_sha",
+                    n_shards=8, bits_per_shard=1 << 12)
+
+
+def test_bloom_invalid_params_raise(spark, keyed):
+    hist, _ = keyed
+    with pytest.raises(ValueError, match="multiple of 8"):
+        bloom_shards(hist.select("content_sha"), "content_sha",
+                     bits_per_shard=1001)
+    with pytest.raises(ValueError, match="n_shards"):
+        bloom_shards(hist.select("content_sha"), "content_sha", n_shards=0)
+
+
+def test_bloom_empty_history(spark, keyed):
+    _, batch = keyed
+    empty = batch.filter("doc_id < 0")
+    out = incremental_new_docs(empty, batch, "content_sha",
+                               n_shards=8, bits_per_shard=1 << 12)
+    assert out.count() == batch.count()
+
+
+def test_pack_sequences_null_text(spark):
+    """NULL text follows the zero-token convention — no NULL coordinates
+    leak to the trainer-side writer."""
+    rows = [(1, "a", "w x"), (2, "a", None), (3, "a", "y")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.doc_id: r.asDict() for r in pack_sequences(df, budget=2).collect()}
+    assert got[2] == {
+        "doc_id": 2, "part": "a", "n_tokens": 0, "start_offset": 2,
+        "seq_id": 1, "end_seq_id": 1, "n_seqs_spanned": 1,
+    }
+    assert got[3]["start_offset"] == 2 and got[3]["n_tokens"] == 1

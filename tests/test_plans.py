@@ -116,10 +116,23 @@ def test_token_freq_quality_vocab_shape(spark, queries):
 
 def test_bloom_dedup_history_join_only_on_hits(spark, queries):
     """The verify anti-join's probe side must be the bloom-hit filter
-    output, not the whole batch: the plan filters on might_contain
-    BEFORE the join with history keys."""
+    output, not the whole batch. This is a real regression risk: the
+    naive payload-level formulation is REORDERED by Catalyst
+    (PushLeftSemiLeftAntiThroughJoin), which silently anti-joins the
+    full batch. Assert the optimized plan's LeftAnti has the
+    might_contain filter as its direct probe-side subtree."""
     plan = plan_of(queries["incremental_new_docs"](spark, SF), "extended")
-    phys = plan.split("== Physical Plan ==", 1)[1]
-    assert "might_contain" in phys
+    opt = plan.split("== Optimized Logical Plan ==", 1)[1].split(
+        "== Physical Plan ==", 1
+    )[0]
+    lines = opt.splitlines()
+    anti = [i for i, ln in enumerate(lines) if "Join LeftAnti" in ln]
+    assert len(anti) == 1, f"expected exactly one LeftAnti, got {len(anti)}"
+    # the anti-join's left child (the next 1-3 printed lines) is the
+    # positive might_contain filter, NOT a batch relation/scan
+    child_block = "\n".join(lines[anti[0] + 1 : anti[0] + 4])
+    assert "might_contain" in child_block, child_block
+    assert "Relation" not in child_block.split("might_contain")[0]
     # and the bitmap build/probe stays in cogrouped Arrow workers
-    assert "FlatMapCoGroupsInPandas" in phys
+    phys = plan.split("== Physical Plan ==", 1)[1]
+    assert "FlatMapCoGroupsInPandas" in phys or "Scan ExistingRDD" in phys
