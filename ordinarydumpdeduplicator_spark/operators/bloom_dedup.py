@@ -287,3 +287,38 @@ def incremental_new_docs(
         F.col(f"b.{key_col}").eqNullSafe(F.col(f"k.{key_col}")),
         "left_semi",
     )
+
+
+def bloom_merge(*tables: DataFrame) -> DataFrame:
+    """Union bloom-shard tables into one index: bloom union IS bitwise OR
+    of bitmaps, so merging a wave's delta into the main index never
+    rebuilds history (the incremental-ingest maintenance step — cost is
+    O(n_shards x bits_per_shard), independent of history size).
+
+    All inputs must share build parameters (validated — ORing bitmaps
+    built with different geometry silently corrupts membership)."""
+    if not tables:
+        raise ValueError("bloom_merge needs at least one shards table")
+    from functools import reduce
+
+    allr = reduce(lambda a, b: a.unionByName(b), tables)
+    params = allr.select(*_PARAM_COLS).distinct().collect()
+    if len(params) > 1:
+        raise ValueError(
+            f"bloom_merge: mismatched build parameters across inputs: "
+            f"{[tuple(r) for r in params]}"
+        )
+
+    def or_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
+        for b in pdf["bits"].iloc[1:]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        out = pdf.iloc[[0]].copy()
+        out["bits"] = [acc.tobytes()]
+        return out
+
+    return allr.groupBy("shard").applyInPandas(
+        or_group,
+        "shard int, bits binary, n_shards int, bits_per_shard int, "
+        "k_hashes int",
+    )

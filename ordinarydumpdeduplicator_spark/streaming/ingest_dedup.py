@@ -1,0 +1,157 @@
+"""Streaming exact-dedup ingest: a continuously arriving document corpus,
+deduplicated against everything already ingested, with a bloom index so
+steady-state batches never shuffle the full history.
+
+State layout (all epoch-keyed like streaming/near_dup.py — every write
+overwrites its own ``epoch=<batch_id>`` directory, loaders read only
+committed epochs STRICTLY BELOW the current one, so Structured
+Streaming's replay of a crashed batch heals partial state):
+
+    new/epoch=N/     rows of the batch that were NEW at ingest time
+                     (first occurrence wins; within-batch duplicates
+                     collapse to the lowest doc_id) — the stream output
+    keys/epoch=N/    the content keys those rows introduced (delta)
+    blooms/epoch=N/  FULL merged bloom-shards snapshot after batch N;
+                     superseded snapshots pruned, latest prior retained
+                     as replay insurance (same protocol as near_dup's
+                     assignment snapshots)
+
+Per batch the work is: probe the batch's distinct keys against the bloom
+snapshot (cogroup, no history scan), anti-join ONLY the bloom hits
+against the accumulated key deltas, OR-merge the new keys' bitmap into
+the snapshot (``operators/bloom_dedup.bloom_merge`` — O(index size),
+independent of history row count). The reference's analogue is the
+per-file ``HashSet`` membership check in ``DataControllerSimple.cs``;
+this is that check, made restartable and distributed.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.bloom_dedup import (
+    DEFAULT_BITS_PER_SHARD,
+    DEFAULT_K_HASHES,
+    bloom_merge,
+    bloom_shards,
+    incremental_new_docs,
+)
+from ..operators.text_dedup import normalized_text
+from .near_dup import _committed_epochs
+
+DOCS_SCHEMA = "doc_id long, text string"
+KEYS_SCHEMA = "content_sha string"
+BLOOMS_SCHEMA = (
+    "shard int, bits binary, n_shards int, bits_per_shard int, k_hashes int"
+)
+
+
+def load_new_docs(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """All rows ever emitted as new, across committed epochs."""
+    epochs = _committed_epochs(os.path.join(state_dir, "new"))
+    if not epochs:
+        return None
+    return spark.read.parquet(*[p for _, p in epochs])
+
+
+def stream_ingest_dedup(
+    spark: SparkSession,
+    input_path: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    n_shards: int = 32,
+    bits_per_shard: int = DEFAULT_BITS_PER_SHARD,
+    k_hashes: int = DEFAULT_K_HASHES,
+    schema: str = DOCS_SCHEMA,
+):
+    """Start the streaming ingest-dedup query over a parquet document
+    stream (``doc_id``, ``text``). Returns the StreamingQuery; read the
+    deduplicated corpus with ``load_new_docs(spark, state_dir)``."""
+    new_path = os.path.join(state_dir, "new")
+    keys_path = os.path.join(state_dir, "keys")
+    blooms_path = os.path.join(state_dir, "blooms")
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        epoch = f"epoch={batch_id}"
+        keyed = batch_df.withColumn(
+            "content_sha", F.sha2(normalized_text(F.col("text")), 256)
+        )
+        # within-batch first-occurrence (lowest doc_id) — history dedup
+        # alone would pass both copies of a key that is new this batch.
+        # NULL keys (NULL text) are never deduplicable; keep them all.
+        w = Window.partitionBy("content_sha").orderBy("doc_id")
+        non_null = (
+            keyed.filter(F.col("content_sha").isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        batch_first = non_null.unionByName(
+            keyed.filter(F.col("content_sha").isNull())
+        )
+
+        key_epochs = _committed_epochs(keys_path, batch_id)
+        history = (
+            s.read.schema(KEYS_SCHEMA).parquet(*[p for _, p in key_epochs])
+            if key_epochs
+            else s.createDataFrame([], KEYS_SCHEMA)
+        )
+        bloom_epochs = _committed_epochs(blooms_path, batch_id)
+        blooms = (
+            s.read.schema(BLOOMS_SCHEMA).parquet(bloom_epochs[-1][1])
+            if bloom_epochs
+            else None
+        )
+        new = incremental_new_docs(
+            history,
+            batch_first,
+            "content_sha",
+            n_shards=n_shards,
+            bits_per_shard=bits_per_shard,
+            k_hashes=k_hashes,
+            blooms=blooms,
+        )
+        new.write.mode("overwrite").parquet(os.path.join(new_path, epoch))
+        # derive the key delta and the bitmap delta from what was WRITTEN
+        # (one compute pass; the later writes cannot disagree with it)
+        written = s.read.parquet(os.path.join(new_path, epoch))
+        new_keys = (
+            written.select("content_sha")
+            .filter(F.col("content_sha").isNotNull())
+            .distinct()
+        )
+        new_keys.write.mode("overwrite").parquet(
+            os.path.join(keys_path, epoch)
+        )
+        delta = bloom_shards(
+            s.read.schema(KEYS_SCHEMA).parquet(os.path.join(keys_path, epoch)),
+            "content_sha",
+            n_shards=n_shards,
+            bits_per_shard=bits_per_shard,
+            k_hashes=k_hashes,
+        )
+        merged = bloom_merge(blooms, delta) if blooms is not None else delta
+        merged.write.mode("overwrite").parquet(
+            os.path.join(blooms_path, epoch)
+        )
+        # prune superseded snapshots KEEPING the latest prior one: the
+        # stream checkpoint may not have committed this batch yet, and a
+        # replay must still find a snapshot below it to resume from
+        for _, p in bloom_epochs[:-1]:
+            shutil.rmtree(p, ignore_errors=True)
+
+    writer = (
+        spark.readStream.schema(schema)
+        .parquet(input_path)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

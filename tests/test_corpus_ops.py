@@ -269,3 +269,29 @@ def test_pack_sequences_null_text(spark):
         "seq_id": 1, "end_seq_id": 1, "n_seqs_spanned": 1,
     }
     assert got[3]["start_offset"] == 2 and got[3]["n_tokens"] == 1
+
+
+def test_bloom_merge_is_union(spark):
+    """OR-merged delta index answers membership exactly like a from-
+    scratch build over the union of keys (bloom union == bitwise OR)."""
+    from ordinarydumpdeduplicator_spark.operators.bloom_dedup import (
+        bloom_merge,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], "k string")
+    both = a.unionByName(b)
+    merged = bloom_merge(
+        bloom_shards(a, "k", n_shards=4, bits_per_shard=1 << 12),
+        bloom_shards(b, "k", n_shards=4, bits_per_shard=1 << 12),
+    )
+    scratch = bloom_shards(both, "k", n_shards=4, bits_per_shard=1 << 12)
+    m = {r.shard: bytes(r.bits) for r in merged.collect()}
+    s = {r.shard: bytes(r.bits) for r in scratch.collect()}
+    assert m == s
+    # mismatched geometry is rejected
+    with pytest.raises(ValueError, match="mismatched"):
+        bloom_merge(
+            bloom_shards(a, "k", n_shards=4, bits_per_shard=1 << 12),
+            bloom_shards(b, "k", n_shards=4, bits_per_shard=1 << 13),
+        ).collect()

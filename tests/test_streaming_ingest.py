@@ -1,0 +1,100 @@
+"""Streaming ingest-dedup == batch first-occurrence dedup on the same
+corpus, across availableNow restarts, with bloom-index state carried
+between batches and crash-replay healing."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ordinarydumpdeduplicator_spark.streaming.ingest_dedup import (
+    load_new_docs,
+    stream_ingest_dedup,
+)
+
+PARAMS = dict(n_shards=8, bits_per_shard=1 << 12)
+
+
+def _docs(spark, ids_texts):
+    return spark.createDataFrame(ids_texts, "doc_id long, text string")
+
+
+def _write_wave(spark, inp, rows):
+    _docs(spark, rows).coalesce(1).write.mode("append").parquet(inp)
+
+
+def _run_once(spark, inp, state, ck):
+    q = stream_ingest_dedup(spark, inp, state, ck, **PARAMS)
+    q.awaitTermination()
+
+
+def _expected_first_occurrence(rows):
+    seen, keep = {}, []
+    for doc_id, text in sorted(rows):
+        key = " ".join(text.lower().split()) if text is not None else None
+        if key is None:
+            keep.append(doc_id)
+        elif key not in seen:
+            seen[key] = doc_id
+            keep.append(doc_id)
+    return sorted(keep)
+
+
+def test_stream_ingest_dedup_matches_batch(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    os.makedirs(inp, exist_ok=True)
+
+    wave1 = [(i, f"text number {i % 40}") for i in range(100)]
+    # wave 2 repeats wave-1 keys 0..19 and adds new keys 40..59
+    wave2 = [(100 + i, f"text number {i % 60}") for i in range(120)]
+
+    _write_wave(spark, inp, wave1)
+    _run_once(spark, inp, state, ck)
+    got1 = sorted(r.doc_id for r in load_new_docs(spark, state).collect())
+    assert got1 == _expected_first_occurrence(wave1)
+
+    _write_wave(spark, inp, wave2)
+    _run_once(spark, inp, state, ck)
+    got2 = sorted(r.doc_id for r in load_new_docs(spark, state).collect())
+    assert got2 == _expected_first_occurrence(wave1 + wave2)
+
+    # restart with no new input: no state change
+    _run_once(spark, inp, state, ck)
+    got3 = sorted(r.doc_id for r in load_new_docs(spark, state).collect())
+    assert got3 == got2
+
+
+def test_stream_ingest_replay_heals(spark, tmp_path):
+    """Crash in the gap between 'epoch parquet committed' and 'stream
+    checkpoint committed': the replayed batch overwrites its own epoch
+    dirs, so nothing duplicates and the bloom snapshot stays correct."""
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    os.makedirs(inp, exist_ok=True)
+
+    _write_wave(spark, inp, [(i, f"t {i % 10}") for i in range(30)])
+    _run_once(spark, inp, state, ck)
+    _write_wave(spark, inp, [(100 + i, f"t {i % 20}") for i in range(40)])
+    _run_once(spark, inp, state, ck)
+    want = sorted(r.doc_id for r in load_new_docs(spark, state).collect())
+
+    # simulate the crash: drop batch 1's stream commit (and its .crc) so
+    # Structured Streaming replays it against the already-written state
+    for name in ("1", ".1.crc"):
+        p = os.path.join(ck, "commits", name)
+        if os.path.exists(p):
+            os.remove(p)
+    _run_once(spark, inp, state, ck)
+    got = sorted(r.doc_id for r in load_new_docs(spark, state).collect())
+    assert got == want
+
+    # and the bloom snapshot still dedups a third wave correctly
+    _write_wave(spark, inp, [(200 + i, f"t {i % 30}") for i in range(30)])
+    _run_once(spark, inp, state, ck)
+    got3 = sorted(r.doc_id for r in load_new_docs(spark, state).collect())
+    # keys t0..t19 already known; t20..t29 are new (first holder: 220+i)
+    assert got3 == want + [220 + i for i in range(10)]
