@@ -184,35 +184,51 @@ def _probe_flags(
     n_shards: int,
     bits_per_shard: int,
     k_hashes: int,
+    validate: bool = True,
 ) -> DataFrame:
-    """Distinct batch keys -> (key_col, might_contain), via a cogroup on
-    shard (the bitmap row rides to its probes ONCE per shard, not per
-    row). Batch payload columns never enter the Python worker."""
+    """Distinct batch keys -> (key_col, shard, might_contain), via a
+    cogroup on shard (the bitmap rows ride to their probes ONCE per
+    shard, not per row). Batch payload columns never enter the Python
+    worker. ``validate=False`` skips the persisted-table parameter check
+    for blooms frames built inline with the same parameters — the check
+    costs one execution of the (lazy) build plan."""
     _check_params(n_shards, bits_per_shard, k_hashes)
-    _validate_blooms(blooms, n_shards, bits_per_shard, k_hashes)
+    if validate:
+        _validate_blooms(blooms, n_shards, bits_per_shard, k_hashes)
 
     def probe(probes: pd.DataFrame, bmp_pdf: pd.DataFrame) -> pd.DataFrame:
         if probes.empty:
             return pd.DataFrame({"__key": pd.Series(dtype="object"),
+                                 "shard": pd.Series(dtype="int32"),
                                  "might_contain": pd.Series(dtype="bool")})
         keys = probes["__key"].tolist()
+        shards = probes["shard"].tolist()
         if bmp_pdf.empty:  # shard never seen in history
-            return pd.DataFrame({"__key": keys,
+            return pd.DataFrame({"__key": keys, "shard": shards,
                                  "might_contain": [False] * len(keys)})
+        # a shard may hold several bitmap rows (epoch deltas written
+        # without bloom_merge): membership is their UNION — testing only
+        # the first row would silently emit duplicates as new
         bmp = np.frombuffer(bmp_pdf["bits"].iloc[0], dtype=np.uint8)
+        if len(bmp_pdf) > 1:
+            bmp = np.bitwise_or.reduce(
+                [np.frombuffer(b, dtype=np.uint8) for b in bmp_pdf["bits"]]
+            )
         h1 = probes["h1"].to_numpy().view(np.uint64)
         h2 = probes["h2"].to_numpy().view(np.uint64)
         pos = _positions(h1, h2, bits_per_shard, k_hashes)
         hit = (
             (bmp[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
         ).all(axis=1)
-        return pd.DataFrame({"__key": keys, "might_contain": hit})
+        return pd.DataFrame(
+            {"__key": keys, "shard": shards, "might_contain": hit}
+        )
 
     probes = _keyed(batch.select(key_col).distinct(), key_col, n_shards)
     return (
         probes.groupBy("shard")
         .cogroup(blooms.groupBy("shard"))
-        .applyInPandas(probe, "__key string, might_contain boolean")
+        .applyInPandas(probe, "__key string, shard int, might_contain boolean")
         .withColumnRenamed("__key", key_col)
     )
 
@@ -229,7 +245,7 @@ def bloom_probe(
     ``key_col`` must be string-typed (content hashes are)."""
     flags = _probe_flags(
         batch, blooms, key_col, n_shards, bits_per_shard, k_hashes
-    )
+    ).drop("shard")
     return batch.join(flags, key_col, "left").fillna(
         {"might_contain": False}
     )
@@ -243,13 +259,16 @@ def incremental_new_docs(
     bits_per_shard: int = DEFAULT_BITS_PER_SHARD,
     k_hashes: int = DEFAULT_K_HASHES,
     blooms: DataFrame | None = None,
+    flags: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT new-content extraction for one ingest wave: batch rows whose
     ``key_col`` does not occur in history. Bloom misses bypass the
     history join; hits are verified with a left-anti join whose probe
     side is only the hit sliver. Pass a persisted ``blooms`` table to
     skip the rebuild (the production shape) — its build parameters are
-    validated against this call's.
+    validated against this call's (skipped for the inline build, whose
+    parameters match by construction — the check would execute the lazy
+    build plan a second time).
 
     The whole decision runs at KEY level (miss keys ∪ anti-joined hit
     keys, then one null-safe semi-join back to the batch payload). The
@@ -257,26 +276,54 @@ def incremental_new_docs(
     REORDERED by Catalyst (PushLeftSemiLeftAntiThroughJoin pushes the
     anti-join below the flags join), silently sending the full batch to
     the history join; key-level structure leaves that rule nothing to
-    push through (plan-gated in tests/test_plans.py)."""
-    if blooms is None:
-        blooms = bloom_shards(
-            history.select(key_col),
-            key_col=key_col,
-            n_shards=n_shards,
-            bits_per_shard=bits_per_shard,
-            k_hashes=k_hashes,
+    push through (plan-gated in tests/test_plans.py).
+
+    If ``history`` carries a ``shard`` column (the sharded key store the
+    streaming ingest maintains — shard as computed by these bloom
+    hashes), the verify side is first semi-joined to the shards that saw
+    a bloom hit, so a wave whose hits cluster in few shards reads only
+    those shards' keys. Without it the verify anti-join scans the full
+    key store once — the bloom then only thins the probe side, which is
+    the honest limit of a one-shot (non-indexed) call.
+
+    The flags sub-plan has multiple consumers (miss branch, hit branch,
+    hit-shard pruning) and Spark does not dedupe common subplans, so the
+    O(batch)-sized probe executes per consumer within the one query.
+    That is deliberate: the operator stays lazy, and persisting here
+    would leak storage in long-running callers. Callers that control
+    action timing (streaming/ingest_dedup.py) pass a persisted ``flags``
+    frame — the ``_probe_flags(...)`` output — and unpersist it after
+    their writes; the probe then runs exactly once per batch."""
+    if flags is None:
+        if blooms is None:
+            validate = False  # built right here: params match trivially
+            blooms = bloom_shards(
+                history.select(key_col),
+                key_col=key_col,
+                n_shards=n_shards,
+                bits_per_shard=bits_per_shard,
+                k_hashes=k_hashes,
+            )
+        else:
+            validate = True
+        flags = _probe_flags(
+            batch, blooms, key_col, n_shards, bits_per_shard, k_hashes,
+            validate=validate,
         )
-    # lazy localCheckpoint: the flags frame has TWO consumers (miss and
-    # hit branches of the union) and Spark does not dedupe common
-    # subplans within one query — without the barrier the whole
-    # build+probe subgraph executes twice
-    flags = _probe_flags(
-        batch, blooms, key_col, n_shards, bits_per_shard, k_hashes
-    ).localCheckpoint(eager=False)
     miss_keys = flags.filter(~F.col("might_contain")).select(key_col)
     hit_keys = flags.filter(F.col("might_contain")).select(key_col)
+    history_keys = history.select(
+        key_col, *(["shard"] if "shard" in history.columns else [])
+    )
+    if "shard" in history_keys.columns:
+        hit_shards = (
+            flags.filter(F.col("might_contain")).select("shard").distinct()
+        )
+        history_keys = history_keys.join(
+            F.broadcast(hit_shards), "shard", "left_semi"
+        )
     verified_keys = hit_keys.join(
-        history.select(key_col).distinct(), key_col, "left_anti"
+        history_keys.select(key_col).distinct(), key_col, "left_anti"
     )
     new_keys = miss_keys.unionByName(verified_keys)
     # eqNullSafe: a NULL key (e.g. NULL text) has no history match by
@@ -295,21 +342,25 @@ def bloom_merge(*tables: DataFrame) -> DataFrame:
     rebuilds history (the incremental-ingest maintenance step — cost is
     O(n_shards x bits_per_shard), independent of history size).
 
-    All inputs must share build parameters (validated — ORing bitmaps
-    built with different geometry silently corrupts membership)."""
+    All inputs must share build parameters (ORing bitmaps built with
+    different geometry silently corrupts membership). Validation happens
+    INSIDE the merge task, per shard group — an eager driver-side check
+    would execute every input plan once just to read three constants,
+    doubling the per-wave index-maintenance cost."""
     if not tables:
         raise ValueError("bloom_merge needs at least one shards table")
     from functools import reduce
 
     allr = reduce(lambda a, b: a.unionByName(b), tables)
-    params = allr.select(*_PARAM_COLS).distinct().collect()
-    if len(params) > 1:
-        raise ValueError(
-            f"bloom_merge: mismatched build parameters across inputs: "
-            f"{[tuple(r) for r in params]}"
-        )
 
     def or_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        for c in _PARAM_COLS:
+            if pdf[c].nunique() > 1:
+                raise ValueError(
+                    f"bloom_merge: mismatched build parameters within "
+                    f"shard {int(pdf['shard'].iloc[0])}: "
+                    f"{c}={sorted(pdf[c].unique().tolist())}"
+                )
         acc = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
         for b in pdf["bits"].iloc[1:]:
             acc |= np.frombuffer(b, dtype=np.uint8)

@@ -17,12 +17,19 @@ Streaming's replay of a crashed batch heals partial state):
                      assignment snapshots)
 
 Per batch the work is: probe the batch's distinct keys against the bloom
-snapshot (cogroup, no history scan), anti-join ONLY the bloom hits
-against the accumulated key deltas, OR-merge the new keys' bitmap into
-the snapshot (``operators/bloom_dedup.bloom_merge`` — O(index size),
-independent of history row count). The reference's analogue is the
-per-file ``HashSet`` membership check in ``DataControllerSimple.cs``;
-this is that check, made restartable and distributed.
+snapshot (cogroup; the flags frame is persisted for the batch and
+unpersisted after the writes, so the probe runs exactly once), anti-join
+ONLY the bloom hits against the key store — which is read with a
+``shard IN (<bloom-hit shards>)`` literal predicate, so parquet
+row-group stats prune everything outside the hit shards (each key delta
+is written clustered by shard for exactly this; at real scale the store
+would be directory-partitioned by shard for file-level pruning) — then
+OR-merge the new keys' bitmap into the snapshot
+(``operators/bloom_dedup.bloom_merge`` — O(index size), independent of
+history row count). A miss-only batch never touches the key store at
+all. The reference's analogue is the per-file ``HashSet`` membership
+check in ``DataControllerSimple.cs``; this is that check, made
+restartable and distributed.
 """
 
 from __future__ import annotations
@@ -36,6 +43,7 @@ from pyspark.sql import functions as F
 from ..operators.bloom_dedup import (
     DEFAULT_BITS_PER_SHARD,
     DEFAULT_K_HASHES,
+    _probe_flags,
     bloom_merge,
     bloom_shards,
     incremental_new_docs,
@@ -44,7 +52,7 @@ from ..operators.text_dedup import normalized_text
 from .near_dup import _committed_epochs
 
 DOCS_SCHEMA = "doc_id long, text string"
-KEYS_SCHEMA = "content_sha string"
+KEYS_SCHEMA = "content_sha string, shard int"
 BLOOMS_SCHEMA = (
     "shard int, bits binary, n_shards int, bits_per_shard int, k_hashes int"
 )
@@ -106,40 +114,80 @@ def stream_ingest_dedup(
         blooms = (
             s.read.schema(BLOOMS_SCHEMA).parquet(bloom_epochs[-1][1])
             if bloom_epochs
-            else None
+            else bloom_shards(
+                history.select("content_sha"),
+                "content_sha",
+                n_shards=n_shards,
+                bits_per_shard=bits_per_shard,
+                k_hashes=k_hashes,
+            )
         )
-        new = incremental_new_docs(
-            history,
-            batch_first,
-            "content_sha",
-            n_shards=n_shards,
-            bits_per_shard=bits_per_shard,
-            k_hashes=k_hashes,
-            blooms=blooms,
-        )
-        new.write.mode("overwrite").parquet(os.path.join(new_path, epoch))
-        # derive the key delta and the bitmap delta from what was WRITTEN
-        # (one compute pass; the later writes cannot disagree with it)
-        written = s.read.parquet(os.path.join(new_path, epoch))
-        new_keys = (
-            written.select("content_sha")
-            .filter(F.col("content_sha").isNotNull())
-            .distinct()
-        )
-        new_keys.write.mode("overwrite").parquet(
-            os.path.join(keys_path, epoch)
-        )
-        delta = bloom_shards(
-            s.read.schema(KEYS_SCHEMA).parquet(os.path.join(keys_path, epoch)),
-            "content_sha",
-            n_shards=n_shards,
-            bits_per_shard=bits_per_shard,
-            k_hashes=k_hashes,
-        )
-        merged = bloom_merge(blooms, delta) if blooms is not None else delta
-        merged.write.mode("overwrite").parquet(
-            os.path.join(blooms_path, epoch)
-        )
+        # ONE probe per batch: persist the flags, unpersist after writes
+        flags = _probe_flags(
+            batch_first, blooms, "content_sha",
+            n_shards, bits_per_shard, k_hashes,
+            validate=bool(bloom_epochs),
+        ).persist()
+        try:
+            hit_shards = [
+                r.shard
+                for r in flags.filter("might_contain")
+                .select("shard")
+                .distinct()
+                .collect()
+            ]
+            # literal predicate -> parquet row-group pruning on the
+            # shard-clustered key store; a miss-only batch reads nothing
+            pruned = (
+                history.filter(F.col("shard").isin(hit_shards))
+                if hit_shards
+                else history.limit(0)
+            )
+            new = incremental_new_docs(
+                pruned,
+                batch_first,
+                "content_sha",
+                n_shards=n_shards,
+                bits_per_shard=bits_per_shard,
+                k_hashes=k_hashes,
+                blooms=blooms,
+                flags=flags,
+            )
+            new.write.mode("overwrite").parquet(
+                os.path.join(new_path, epoch)
+            )
+            # derive the key delta from what was WRITTEN (the later
+            # writes cannot disagree with it); shard comes from the
+            # persisted flags — no re-hash
+            written = s.read.parquet(os.path.join(new_path, epoch))
+            new_keys = (
+                written.select("content_sha")
+                .filter(F.col("content_sha").isNotNull())
+                .distinct()
+                .join(flags.select("content_sha", "shard"), "content_sha")
+            )
+            # clustered by shard so the next wave's IN-predicate prunes
+            # row groups (directory-partition by shard at real scale)
+            new_keys.repartition("shard").sortWithinPartitions(
+                "shard"
+            ).write.mode("overwrite").parquet(os.path.join(keys_path, epoch))
+            delta = bloom_shards(
+                s.read.schema(KEYS_SCHEMA)
+                .parquet(os.path.join(keys_path, epoch))
+                .select("content_sha"),
+                "content_sha",
+                n_shards=n_shards,
+                bits_per_shard=bits_per_shard,
+                k_hashes=k_hashes,
+            )
+            merged = (
+                bloom_merge(blooms, delta) if bloom_epochs else delta
+            )
+            merged.write.mode("overwrite").parquet(
+                os.path.join(blooms_path, epoch)
+            )
+        finally:
+            flags.unpersist()
         # prune superseded snapshots KEEPING the latest prior one: the
         # stream checkpoint may not have committed this batch yet, and a
         # replay must still find a snapshot below it to resume from

@@ -289,8 +289,9 @@ def test_bloom_merge_is_union(spark):
     m = {r.shard: bytes(r.bits) for r in merged.collect()}
     s = {r.shard: bytes(r.bits) for r in scratch.collect()}
     assert m == s
-    # mismatched geometry is rejected
-    with pytest.raises(ValueError, match="mismatched"):
+    # mismatched geometry is rejected (raised in the merge task, so it
+    # surfaces as Spark's wrapped PythonException — still loud)
+    with pytest.raises(Exception, match="mismatched build parameters"):
         bloom_merge(
             bloom_shards(a, "k", n_shards=4, bits_per_shard=1 << 12),
             bloom_shards(b, "k", n_shards=4, bits_per_shard=1 << 13),

@@ -135,4 +135,23 @@ def test_bloom_dedup_history_join_only_on_hits(spark, queries):
     assert "Relation" not in child_block.split("might_contain")[0]
     # and the bitmap build/probe stays in cogrouped Arrow workers
     phys = plan.split("== Physical Plan ==", 1)[1]
-    assert "FlatMapCoGroupsInPandas" in phys or "Scan ExistingRDD" in phys
+    assert "FlatMapCoGroupsInPandas" in phys
+
+
+def test_bloom_probe_is_cogrouped(spark):
+    """The probe itself must be a shard-cogrouped Arrow exchange — never
+    a per-row bitmap broadcast (which would Arrow-copy the bitmap onto
+    every probe row)."""
+    from ordinarydumpdeduplicator_spark.operators.bloom_dedup import (
+        bloom_probe,
+        bloom_shards,
+    )
+
+    keys = spark.createDataFrame([("k1",), ("k2",)], "content_sha string")
+    blooms = bloom_shards(keys, "content_sha", n_shards=4,
+                          bits_per_shard=1 << 12)
+    plan = plan_of(
+        bloom_probe(keys, blooms, "content_sha", n_shards=4,
+                    bits_per_shard=1 << 12)
+    )
+    assert "FlatMapCoGroupsInPandas" in plan

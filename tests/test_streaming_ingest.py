@@ -47,24 +47,39 @@ def test_stream_ingest_dedup_matches_batch(spark, tmp_path):
     ck = str(tmp_path / "ck")
     os.makedirs(inp, exist_ok=True)
 
-    wave1 = [(i, f"text number {i % 40}") for i in range(100)]
-    # wave 2 repeats wave-1 keys 0..19 and adds new keys 40..59
-    wave2 = [(100 + i, f"text number {i % 60}") for i in range(120)]
+    # NULL-text docs are never deduplicable: every one stays "new"
+    wave1 = [(i, f"text number {i % 40}") for i in range(100)] + [
+        (500, None),
+        (501, None),
+    ]
+    # wave 2 repeats wave-1 keys 0..19, adds new keys 40..59 + a NULL
+    wave2 = [(100 + i, f"text number {i % 60}") for i in range(120)] + [
+        (502, None)
+    ]
+    # wave 3 is ALL duplicates: empty new/keys epochs must round-trip
+    wave3 = [(600 + i, f"text number {i}") for i in range(20)]
 
     _write_wave(spark, inp, wave1)
     _run_once(spark, inp, state, ck)
     got1 = sorted(r.doc_id for r in load_new_docs(spark, state).collect())
     assert got1 == _expected_first_occurrence(wave1)
+    assert {500, 501} <= set(got1)
 
     _write_wave(spark, inp, wave2)
     _run_once(spark, inp, state, ck)
     got2 = sorted(r.doc_id for r in load_new_docs(spark, state).collect())
     assert got2 == _expected_first_occurrence(wave1 + wave2)
+    assert 502 in got2
+
+    _write_wave(spark, inp, wave3)
+    _run_once(spark, inp, state, ck)
+    got3 = sorted(r.doc_id for r in load_new_docs(spark, state).collect())
+    assert got3 == got2, "all-duplicate wave must add nothing"
 
     # restart with no new input: no state change
     _run_once(spark, inp, state, ck)
-    got3 = sorted(r.doc_id for r in load_new_docs(spark, state).collect())
-    assert got3 == got2
+    got4 = sorted(r.doc_id for r in load_new_docs(spark, state).collect())
+    assert got4 == got2
 
 
 def test_stream_ingest_replay_heals(spark, tmp_path):
