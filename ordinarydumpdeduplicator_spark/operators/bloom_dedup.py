@@ -287,13 +287,15 @@ def incremental_new_docs(
     the honest limit of a one-shot (non-indexed) call.
 
     The flags sub-plan has multiple consumers (miss branch, hit branch,
-    hit-shard pruning) and Spark does not dedupe common subplans, so the
-    O(batch)-sized probe executes per consumer within the one query.
-    That is deliberate: the operator stays lazy, and persisting here
-    would leak storage in long-running callers. Callers that control
-    action timing (streaming/ingest_dedup.py) pass a persisted ``flags``
-    frame — the ``_probe_flags(...)`` output — and unpersist it after
-    their writes; the probe then runs exactly once per batch."""
+    hit-shard pruning) and Spark does not dedupe common subplans, so an
+    inline-built flags frame is ``persist()``-ed: recompute-safe under
+    executor loss (unlike a localCheckpoint) and shared across the
+    branches, at the cost of a cached footprint of one boolean row per
+    distinct batch key that lives until the plan is GC'd — bounded by
+    the wave size, not history. Long-running callers that control action
+    timing (streaming/ingest_dedup.py) instead pass their own persisted
+    ``flags`` frame — the ``_probe_flags(...)`` output — and unpersist
+    it right after their writes."""
     if flags is None:
         if blooms is None:
             validate = False  # built right here: params match trivially
@@ -309,7 +311,7 @@ def incremental_new_docs(
         flags = _probe_flags(
             batch, blooms, key_col, n_shards, bits_per_shard, k_hashes,
             validate=validate,
-        )
+        ).persist()
     miss_keys = flags.filter(~F.col("might_contain")).select(key_col)
     hit_keys = flags.filter(F.col("might_contain")).select(key_col)
     history_keys = history.select(
