@@ -88,6 +88,17 @@ def main() -> None:
     # signature annotations, which pandas_udf cannot resolve here
     _warm = F.pandas_udf(lambda v: v, T.LongType())
     spark.range(100000).select(F.sum(_warm("id"))).collect()
+    # cogrouped/grouped applyInPandas shape (ivf_pq ADC, bloom probe,
+    # brute-force tiles): FlatMap(Co)GroupsInPandas planning + the Arrow
+    # cogroup serializer path are also once-per-session costs
+    _g1 = spark.range(64).select(F.pmod("id", F.lit(4)).alias("g"), "id")
+    _g2 = spark.range(64).select(F.pmod("id", F.lit(4)).alias("g"), "id")
+    _g1.groupBy("g").cogroup(_g2.groupBy("g")).applyInPandas(
+        lambda left, right: left, "g bigint, id bigint"
+    ).count()
+    _g1.groupBy("g").applyInPandas(
+        lambda pdf: pdf, "g bigint, id bigint"
+    ).count()
     # JIT the codegen shapes the queries share (sha2 expression, shuffle
     # exchange + shuffled hash join, hash aggregate, window sort/rank) on
     # synthetic rows — first-plan Janino/HotSpot compilation is a
