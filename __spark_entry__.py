@@ -471,6 +471,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return token_freq_quality(_docs(spark, sf), top_k=32, rare_max=2)
 
+    def q_gopher_filter(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.text_analysis import (
+            gopher_quality_filter,
+        )
+
+        return gopher_quality_filter(_docs(spark, sf))
+
     def q_incremental_new_docs(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.bloom_dedup import (
             incremental_new_docs,
@@ -533,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "sequence_packing": q_sequence_packing,
         "token_freq_quality": q_token_freq_quality,
+        "gopher_filter": q_gopher_filter,
         "incremental_new_docs": q_incremental_new_docs,
     }
 
@@ -977,6 +985,60 @@ def oracle_sql() -> dict[str, str]:
         # semantic_dedup stays rows-only: driver-side k-means quantizer —
         # the greedy within-cell rule is numpy-pinned in
         # tests/test_substring_dedup.py
+        "gopher_filter": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            stats AS (
+              SELECT doc_id, len(t)::BIGINT AS n_tokens,
+                     coalesce(
+                       list_sum(list_transform(t, x -> length(x))), 0
+                     )::BIGINT AS total_token_len
+              FROM toks
+            ),
+            grams AS (
+              SELECT doc_id, md5(array_to_string(t[i:i+1], ' ')) AS gram_key
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+              WHERE len(t) >= 2
+            ),
+            per_gram AS (
+              SELECT doc_id, gram_key, count(*) AS c
+              FROM grams GROUP BY doc_id, gram_key
+            ),
+            per_doc AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
+                     max(c)::BIGINT AS top_c,
+                     coalesce(sum(CASE WHEN c >= 2 THEN c END), 0)::BIGINT
+                       AS dup_c
+              FROM per_gram GROUP BY doc_id
+            ),
+            lang AS (SELECT doc_id, {lang_case} AS lang_pred FROM documents),
+            j AS (
+              SELECT s.doc_id, s.n_tokens, s.total_token_len,
+                     coalesce(p.n_ngrams, 0) AS n_ngrams,
+                     coalesce(p.top_c, 0) AS top_c,
+                     coalesce(p.dup_c, 0) AS dup_c,
+                     l.lang_pred
+              FROM stats s
+              LEFT JOIN per_doc p USING (doc_id)
+              JOIN lang l USING (doc_id)
+            ),
+            r AS (
+              SELECT doc_id, n_tokens, list_filter([
+                CASE WHEN n_tokens < 20 THEN 'too_short' END,
+                CASE WHEN n_tokens > 90 THEN 'too_long' END,
+                CASE WHEN total_token_len * 10 < 30 * n_tokens
+                  THEN 'tokens_too_short' END,
+                CASE WHEN total_token_len * 10 > 100 * n_tokens
+                  THEN 'tokens_too_long' END,
+                CASE WHEN top_c * 10 > 1 * n_ngrams THEN 'top_ngram' END,
+                CASE WHEN dup_c * 5 > 1 * n_ngrams THEN 'dup_ngrams' END,
+                CASE WHEN lang_pred = 'und' THEN 'no_lang' END
+              ], x -> x IS NOT NULL) AS reasons
+              FROM j
+            )
+            SELECT doc_id, n_tokens, len(reasons) = 0 AS keep, reasons
+            FROM r
+        """,
         "stratified_sample": _stratified_sample_sql(),
         "sequence_packing": f"""
             WITH t AS (

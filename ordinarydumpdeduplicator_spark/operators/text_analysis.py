@@ -296,3 +296,76 @@ def token_freq_quality(
             .alias("n_oov_tokens"),
         )
     )
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    min_mean_tok_len_x10: int = 30,
+    max_mean_tok_len_x10: int = 100,
+    top_ngram_num: int = 1,
+    top_ngram_den: int = 10,
+    dup_ngram_num: int = 1,
+    dup_ngram_den: int = 5,
+    n: int = 2,
+) -> DataFrame:
+    """The composite Gopher-rule quality verdict (Rae et al. 2021 Table
+    A1, the filter stage every pretraining pipeline runs after dedup):
+    one keep/drop per document with the failing rules named, combining
+
+    - token-count window [min_tokens, max_tokens],
+    - mean token length window (x10 fixed-point, so the comparison is
+      the integer cross-product total_token_len*10 vs bound*n_tokens —
+      no float division anywhere, hash-exact against the oracle),
+    - most-common-n-gram coverage  <= top_ngram_num/top_ngram_den,
+    - duplicate-n-gram coverage    <= dup_ngram_num/dup_ngram_den,
+    - language identified (lang_id_heuristic != 'und').
+
+    Reasons appear in this fixed rule order (deterministic array). All
+    inputs come from the already-oracled operators (token_stats,
+    repetition_stats, lang_id_heuristic) joined on doc_id — three
+    hash-agg passes over the token stream plus two broadcast-friendly
+    equi-joins; no windows, no Python."""
+    ts = token_stats(docs, id_col=id_col, text_col=text_col)
+    rep = repetition_stats(docs, id_col=id_col, text_col=text_col, n=n)
+    lang = lang_id_heuristic(docs, id_col=id_col, text_col=text_col).select(
+        "doc_id", "lang_pred"
+    )
+    j = ts.join(rep.drop("n_tokens"), "doc_id").join(lang, "doc_id")
+    rules = [
+        ("too_short", F.col("n_tokens") < min_tokens),
+        ("too_long", F.col("n_tokens") > max_tokens),
+        (
+            "tokens_too_short",
+            F.col("total_token_len") * 10
+            < F.lit(min_mean_tok_len_x10) * F.col("n_tokens"),
+        ),
+        (
+            "tokens_too_long",
+            F.col("total_token_len") * 10
+            > F.lit(max_mean_tok_len_x10) * F.col("n_tokens"),
+        ),
+        (
+            "top_ngram",
+            F.col("top_ngram_count") * top_ngram_den
+            > F.lit(top_ngram_num) * F.col("n_ngrams"),
+        ),
+        (
+            "dup_ngrams",
+            F.col("dup_ngram_positions") * dup_ngram_den
+            > F.lit(dup_ngram_num) * F.col("n_ngrams"),
+        ),
+        ("no_lang", F.col("lang_pred") == "und"),
+    ]
+    reasons = F.array_compact(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in rules])
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        (F.size(reasons) == 0).alias("keep"),
+        reasons.alias("reasons"),
+    )

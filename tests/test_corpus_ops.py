@@ -296,3 +296,47 @@ def test_bloom_merge_is_union(spark):
             bloom_shards(a, "k", n_shards=4, bits_per_shard=1 << 12),
             bloom_shards(b, "k", n_shards=4, bits_per_shard=1 << 13),
         ).collect()
+
+
+# ------------------------------------------------------------- gopher filter
+
+
+def test_gopher_quality_filter_rules(spark):
+    from ordinarydumpdeduplicator_spark.operators.text_analysis import (
+        gopher_quality_filter,
+    )
+
+    rows = [
+        (1, "the " + " ".join(f"word{i}" for i in range(30))),  # clean -> keep
+        (2, "the cat"),                                  # too_short
+        (3, "the " + "spam ham " * 20),                  # repetition rules
+        (4, "zz qq " * 15),                              # no_lang
+        (5, "the " + " ".join("x" for _ in range(30))),  # tokens_too_short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in gopher_quality_filter(df).collect()}
+    assert got[1]["keep"] and got[1]["reasons"] == []
+    assert not got[2]["keep"] and "too_short" in got[2]["reasons"]
+    assert not got[3]["keep"]
+    assert {"top_ngram", "dup_ngrams"} <= set(got[3]["reasons"])
+    assert "no_lang" in got[4]["reasons"]
+    assert "tokens_too_short" in got[5]["reasons"]
+    # reasons appear in fixed rule order (deterministic for the oracle)
+    assert got[3]["reasons"] == sorted(
+        got[3]["reasons"],
+        key=["too_short", "too_long", "tokens_too_short",
+             "tokens_too_long", "top_ngram", "dup_ngrams",
+             "no_lang"].index,
+    )
+
+
+def test_gopher_filter_nontrivial_mix_on_testdata(spark):
+    """The driver-query thresholds actually exercise both verdicts on the
+    provided corpus (a filter that keeps or drops everything tests
+    nothing)."""
+    import __spark_entry__ as e
+
+    out = e.queries()["gopher_filter"](spark, "/root/testdata/sf0.001")
+    counts = {r.keep: r.c for r in
+              out.groupBy("keep").agg(F.count("*").alias("c")).collect()}
+    assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0, counts

@@ -41,6 +41,7 @@ HEADLINE = [
     "stratified_sample",
     "sequence_packing",
     "token_freq_quality",
+    "gopher_filter",
     "incremental_new_docs",
 ]
 
