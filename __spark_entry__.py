@@ -457,6 +457,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             salt="mix",
         )
 
+    def q_mixture_sample(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.sampling import (
+            mixture_sample,
+        )
+
+        return mixture_sample(
+            _docs(spark, sf).select("doc_id", "lang", "source"),
+            targets={"en": 0.4, "de": 0.3, "fr": 0.3},
+        )
+
     def q_sequence_packing(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.packing import (
             pack_sequences,
@@ -538,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "semantic_dedup": q_semantic_dedup,
         "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
         "sequence_packing": q_sequence_packing,
         "token_freq_quality": q_token_freq_quality,
         "gopher_filter": q_gopher_filter,
@@ -1040,6 +1051,30 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         "stratified_sample": _stratified_sample_sql(),
+        "mixture_sample": """
+            WITH counts AS (
+              SELECT lang, count(*)::DOUBLE AS c FROM documents GROUP BY lang
+            ),
+            t AS (
+              SELECT lang, c,
+                     CASE lang WHEN 'de' THEN 0.3 WHEN 'en' THEN 0.4
+                               WHEN 'fr' THEN 0.3 END AS share
+              FROM counts
+              WHERE lang IN ('de', 'en', 'fr')
+            ),
+            m AS (SELECT lang, c, share, min(c / share) OVER () AS n_out
+                  FROM t),
+            r AS (
+              SELECT lang,
+                     CAST(floor(least(1.0, share * n_out / c)
+                                * 1152921504606846976.0) AS BIGINT) AS thr
+              FROM m
+            )
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d JOIN r USING (lang)
+            WHERE ('0x' || substr(md5('mixr:' || CAST(doc_id AS VARCHAR)),
+                                  1, 15))::BIGINT < r.thr
+        """,
         "sequence_packing": f"""
             WITH t AS (
               SELECT doc_id, source AS part,

@@ -26,7 +26,7 @@ is one of the beyond-reference pipeline operators SURVEY §2.12 adds.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -89,3 +89,81 @@ def stratified_sample(
         F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
     )
     return df.filter(digest < thr)
+
+
+def hash60(key: Column, salt: str) -> Column:
+    """Uniform 60-bit integer draw from the key's MD5 (first 15 hex
+    chars parsed base-16) — fits a BIGINT in both engines, and DuckDB
+    parses the identical value via ('0x' || substr(md5,1,15))::BIGINT
+    (parity pinned by the mixture_sample oracle)."""
+    digest = F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
+    return F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+
+
+HASH60_SPACE = float(1 << 60)
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "mixr",
+) -> DataFrame:
+    """Rebalance the corpus to target stratum proportions by
+    downsampling only (the data-mixing step: e.g. 40% en / 30% de /
+    30% fr regardless of the raw crawl's skew).
+
+    The output size is maximal for keep-only rebalancing: the binding
+    stratum (largest count_s/share_s deficit) keeps 100% and every other
+    stratum is thinned to match, via
+
+        n_out  = min over strata of count_s / share_s
+        rate_s = min(1, share_s * n_out / count_s)
+
+    Strata absent from ``targets`` are dropped; a target stratum absent
+    from the data simply cannot contribute (no upsampling). Rates are
+    derived INSIDE the plan — one tiny per-stratum count aggregate, a
+    global window over those few rows, then a broadcast join back — so
+    the whole operator is lazy, deterministic, and SQL-oracle-checkable
+    (identical IEEE double steps on both engines). The per-row keep rule
+    is the same map-only hash-threshold as ``deterministic_sample``,
+    with the threshold materialized as floor(rate * 2^60) compared
+    against a 60-bit hash draw."""
+    bad = {k: v for k, v in targets.items() if not 0.0 < v <= 1.0}
+    if bad:
+        raise ValueError(f"target shares must be in (0, 1]: {bad}")
+    share = F.lit(None).cast("double")
+    for stratum in sorted(targets):
+        share = F.when(
+            F.col(stratum_col) == stratum, F.lit(float(targets[stratum]))
+        ).otherwise(share)
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .withColumn("share", share)
+        .filter(F.col("share").isNotNull())
+    )
+    # global window over n_strata rows (not data-sized) — the one place
+    # a partition-less window is the right tool
+    rates = counts.withColumn(
+        "n_out",
+        F.min(F.col("c") / F.col("share")).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    ).select(
+        stratum_col,
+        F.floor(
+            F.least(
+                F.lit(1.0), F.col("share") * F.col("n_out") / F.col("c")
+            )
+            * F.lit(HASH60_SPACE)
+        )
+        .cast("long")
+        .alias("thr"),
+    )
+    return df.join(F.broadcast(rates), stratum_col).filter(
+        hash60(F.col(key_col), salt) < F.col("thr")
+    ).drop("thr")

@@ -340,3 +340,39 @@ def test_gopher_filter_nontrivial_mix_on_testdata(spark):
     counts = {r.keep: r.c for r in
               out.groupBy("keep").agg(F.count("*").alias("c")).collect()}
     assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0, counts
+
+
+# ------------------------------------------------------------------- mixture
+
+
+def test_mixture_sample_rebalances(spark):
+    from ordinarydumpdeduplicator_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    # heavily skewed corpus: 800 en, 150 de, 50 fr
+    rows = (
+        [(i, "en") for i in range(800)]
+        + [(1000 + i, "de") for i in range(150)]
+        + [(2000 + i, "fr") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string").cache()
+    out = mixture_sample(df, {"en": 0.5, "de": 0.3, "fr": 0.2}).collect()
+    by = {}
+    for r in out:
+        by[r.lang] = by.get(r.lang, 0) + 1
+    total = sum(by.values())
+    # fr is the binding stratum (50/0.2=250 smallest) -> kept whole
+    assert by["fr"] == 50
+    # proportions approach targets (hash sampling is binomial; loose)
+    assert abs(by["en"] / total - 0.5) < 0.08
+    assert abs(by["de"] / total - 0.3) < 0.08
+    # deterministic under repartitioning
+    out2 = mixture_sample(
+        df.repartition(7), {"en": 0.5, "de": 0.3, "fr": 0.2}
+    ).collect()
+    assert sorted(r.doc_id for r in out2) == sorted(r.doc_id for r in out)
+    # strata outside the target mix are dropped
+    assert "xx" not in by
+    with pytest.raises(ValueError, match="target shares"):
+        mixture_sample(df, {"en": 0.0})
