@@ -481,6 +481,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return token_freq_quality(_docs(spark, sf), top_k=32, rare_max=2)
 
+    def q_trim_duplicate_spans(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.substring_dedup import (
+            trim_duplicate_spans,
+        )
+
+        return trim_duplicate_spans(_docs(spark, sf), k=8)
+
     def q_gopher_filter(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.text_analysis import (
             gopher_quality_filter,
@@ -551,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "sequence_packing": q_sequence_packing,
         "token_freq_quality": q_token_freq_quality,
+        "trim_duplicate_spans": q_trim_duplicate_spans,
         "gopher_filter": q_gopher_filter,
         "incremental_new_docs": q_incremental_new_docs,
     }
@@ -996,6 +1004,33 @@ def oracle_sql() -> dict[str, str]:
         # semantic_dedup stays rows-only: driver-side k-means quantizer —
         # the greedy within-cell rule is numpy-pinned in
         # tests/test_substring_dedup.py
+        "trim_duplicate_spans": f"""
+            WITH spans AS ({_substring_spans_sql(8)}),
+            toks AS (SELECT doc_id, {_TOKS} AS t, text FROM documents),
+            pos AS (
+              SELECT doc_id, i - 1 AS pos, t[i] AS tok
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+            ),
+            kept AS (
+              SELECT p.doc_id, p.pos, p.tok FROM pos p
+              ANTI JOIN spans s ON p.doc_id = s.doc_id
+                AND p.pos >= s.span_start AND p.pos < s.span_end
+            ),
+            agg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS trimmed,
+                     count(*)::BIGINT AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CASE WHEN t.text IS NULL THEN NULL
+                        ELSE coalesce(a.trimmed, '') END AS trimmed_text,
+                   coalesce(len(t.t), 0)::BIGINT AS n_tokens,
+                   (CASE WHEN t.text IS NULL THEN 0
+                         ELSE coalesce(a.n_kept, 0) END)::BIGINT
+                     AS n_kept_tokens
+            FROM toks t LEFT JOIN agg a USING (doc_id)
+        """,
         "gopher_filter": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
             stats AS (

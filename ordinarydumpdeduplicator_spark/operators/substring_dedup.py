@@ -270,3 +270,67 @@ def corpus_filter_decisions(
             )
         ).alias("keep"),
     )
+
+
+def trim_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Lee et al. 2022's OTHER remedy: instead of dropping a document
+    over its duplication budget (``corpus_filter_decisions``), REMOVE
+    the duplicated spans and keep the rest — the trim-granularity
+    dedup a pipeline applies to long documents with boilerplate
+    headers/footers shared across the crawl.
+
+    Output per document: ``trimmed_text`` (the kept tokens of the
+    normalized token stream, space-joined, in order — the training-ready
+    form; the original casing/whitespace is not reconstructed),
+    ``n_tokens``, ``n_kept_tokens``. NULL text stays NULL.
+
+    Shape: the spans come from the same shared-k-gram hash-group +
+    island merge as ``exact_substring_spans``; they aggregate to ONE
+    array per doc (spans are disjoint by construction, so membership is
+    order-insensitive and collect_list's nondeterministic order is
+    harmless), then the trim itself is a nested higher-order filter —
+    token position inside any span — entirely JVM-side, no explode of
+    the corpus token stream and no Python."""
+    spans_agg = (
+        exact_substring_spans(docs, id_col, text_col, k=k, min_docs=min_docs)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        _tokens(F.col(text_col)).alias("toks"),
+    )
+    joined = base.join(spans_agg, "doc_id", "left").withColumn(
+        "spans",
+        F.coalesce(
+            "spans",
+            F.array().cast("array<struct<span_start:long,span_end:long>>"),
+        ),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i >= s.span_start) & (i < s.span_end),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.when(F.col("__text").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias("trimmed_text"),
+        F.coalesce(F.size("toks"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.when(F.col("__text").isNull(), F.lit(0))
+        .otherwise(F.size(kept))
+        .cast("long")
+        .alias("n_kept_tokens"),
+    )

@@ -249,3 +249,34 @@ def test_semantic_dedup_threshold_above_one_keeps_all(spark, clustered_embedding
         clustered_embeddings, threshold=1.01, n_cells=16, sample_size=200
     ).collect()
     assert all(r["is_kept"] for r in out)
+
+
+def test_trim_duplicate_spans(spark):
+    from ordinarydumpdeduplicator_spark.operators.substring_dedup import (
+        substring_dup_stats,
+        trim_duplicate_spans,
+    )
+
+    rows = [
+        (1, "shared header tokens one two three four five unique content alpha beta"),
+        (2, "shared header tokens one two three four five different tail gamma delta"),
+        (3, "totally original text with nothing repeated anywhere at all ok fine"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.asDict()
+        for r in trim_duplicate_spans(df, k=4).collect()
+    }
+    assert got[1]["trimmed_text"] == "unique content alpha beta"
+    assert got[2]["trimmed_text"] == "different tail gamma delta"
+    assert got[3]["trimmed_text"].startswith("totally original")
+    assert got[3]["n_kept_tokens"] == got[3]["n_tokens"] == 11
+    assert got[4]["trimmed_text"] is None and got[4]["n_kept_tokens"] == 0
+    # cross-operator invariant: tokens removed by the trim == the
+    # duplication budget substring_dup_stats charges the document
+    stats = {r.doc_id: r.asDict()
+             for r in substring_dup_stats(df, k=4).collect()}
+    for d in (1, 2, 3):
+        assert (got[d]["n_tokens"] - got[d]["n_kept_tokens"]
+                == stats[d]["dup_tokens"]), d
