@@ -1034,7 +1034,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
             stats AS (
-              SELECT doc_id, len(t)::BIGINT AS n_tokens,
+              SELECT doc_id, coalesce(len(t), 0)::BIGINT AS n_tokens,
                      coalesce(
                        list_sum(list_transform(t, x -> length(x))), 0
                      )::BIGINT AS total_token_len
@@ -1057,7 +1057,8 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_c
               FROM per_gram GROUP BY doc_id
             ),
-            lang AS (SELECT doc_id, {lang_case} AS lang_pred FROM documents),
+            lang AS (SELECT doc_id, coalesce({lang_case}, 'und') AS lang_pred
+                     FROM documents),
             j AS (
               SELECT s.doc_id, s.n_tokens, s.total_token_len,
                      coalesce(p.n_ngrams, 0) AS n_ngrams,
@@ -1101,8 +1102,11 @@ def oracle_sql() -> dict[str, str]:
                   FROM t),
             r AS (
               SELECT lang,
-                     CAST(floor(least(1.0, share * n_out / c)
-                                * 1152921504606846976.0) AS BIGINT) AS thr
+                     CASE WHEN c / share = n_out
+                          THEN 1152921504606846976
+                          ELSE CAST(floor(least(1.0, share * n_out / c)
+                                    * 1152921504606846976.0) AS BIGINT)
+                     END AS thr
               FROM m
             )
             SELECT d.doc_id, d.lang, d.source

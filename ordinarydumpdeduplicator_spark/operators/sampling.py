@@ -44,12 +44,20 @@ def fraction_to_hex_threshold(fraction: float, digits: int = 32) -> str:
     return format(cut, "x").rjust(digits, "0")
 
 
+def _salted_digest(key: Column, salt: str) -> Column:
+    """The one salted-MD5 keying convention every sampler shares — the
+    DuckDB oracles replay ``md5('<salt>:' || CAST(key AS VARCHAR))``
+    verbatim, so the separator and cast live in exactly one place."""
+    return F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
+
+
 def sample_predicate(
     key: Column, fraction: float, salt: str = "sample"
 ) -> Column:
     """Boolean column: deterministic keep-decision for one fraction."""
-    digest = F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
-    return digest < F.lit(fraction_to_hex_threshold(fraction))
+    return _salted_digest(key, salt) < F.lit(
+        fraction_to_hex_threshold(fraction)
+    )
 
 
 def deterministic_sample(
@@ -85,10 +93,7 @@ def stratified_sample(
             F.col(stratum_col) == stratum,
             F.lit(fraction_to_hex_threshold(rates[stratum])),
         ).otherwise(thr)
-    digest = F.md5(
-        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
-    )
-    return df.filter(digest < thr)
+    return df.filter(_salted_digest(F.col(key_col), salt) < thr)
 
 
 def hash60(key: Column, salt: str) -> Column:
@@ -96,8 +101,9 @@ def hash60(key: Column, salt: str) -> Column:
     chars parsed base-16) — fits a BIGINT in both engines, and DuckDB
     parses the identical value via ('0x' || substr(md5,1,15))::BIGINT
     (parity pinned by the mixture_sample oracle)."""
-    digest = F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
-    return F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    return F.conv(
+        F.substring(_salted_digest(key, salt), 1, 15), 16, 10
+    ).cast("long")
 
 
 HASH60_SPACE = float(1 << 60)
@@ -155,15 +161,25 @@ def mixture_sample(
         ),
     ).select(
         stratum_col,
-        F.floor(
-            F.least(
-                F.lit(1.0), F.col("share") * F.col("n_out") / F.col("c")
-            )
-            * F.lit(HASH60_SPACE)
+        # the binding stratum is the row whose c/share IS the min — test
+        # that bit-exactly (the min equals one of its inputs) and keep
+        # it whole; share*(c/share)/c can round a 1-ulp hair below 1.0,
+        # which floor() would turn into a real top-of-hash-space drop
+        F.when(
+            F.col("c") / F.col("share") == F.col("n_out"),
+            F.lit(1 << 60).cast("long"),
         )
-        .cast("long")
-        .alias("thr"),
+        .otherwise(
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    F.col("share") * F.col("n_out") / F.col("c"),
+                )
+                * F.lit(HASH60_SPACE)
+            ).cast("long")
+        )
+        .alias("__thr"),
     )
     return df.join(F.broadcast(rates), stratum_col).filter(
-        hash60(F.col(key_col), salt) < F.col("thr")
-    ).drop("thr")
+        hash60(F.col(key_col), salt) < F.col("__thr")
+    ).drop("__thr")

@@ -278,6 +278,7 @@ def trim_duplicate_spans(
     text_col: str = "text",
     k: int = 8,
     min_docs: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Lee et al. 2022's OTHER remedy: instead of dropping a document
     over its duplication budget (``corpus_filter_decisions``), REMOVE
@@ -290,24 +291,28 @@ def trim_duplicate_spans(
     form; the original casing/whitespace is not reconstructed),
     ``n_tokens``, ``n_kept_tokens``. NULL text stays NULL.
 
-    Shape: the spans come from the same shared-k-gram hash-group +
-    island merge as ``exact_substring_spans``; they aggregate to ONE
-    array per doc (spans are disjoint by construction, so membership is
+    Shape: ONE scan-and-tokenize pass builds the skinny (doc_id, toks)
+    frame; ``materialize`` localCheckpoints it because TWO consumers
+    read it (the gram/span pass and the trim itself) and would otherwise
+    re-scan the raw corpus — the same multi-consumer discipline as
+    ``corpus_filter_decisions``. The spans come from the same
+    shared-k-gram hash-group + island merge as
+    ``exact_substring_spans``; they aggregate to ONE array per doc
+    (spans are disjoint by construction, so membership is
     order-insensitive and collect_list's nondeterministic order is
     harmless), then the trim itself is a nested higher-order filter —
     token position inside any span — entirely JVM-side, no explode of
-    the corpus token stream and no Python."""
+    the corpus token stream and no Python. NULL text is detected via the
+    toks column (split of NULL is NULL, so toks is NULL iff text is)."""
+    base = _toks_frame(docs, id_col, text_col)
+    if materialize:
+        base = base.localCheckpoint()
     spans_agg = (
-        exact_substring_spans(docs, id_col, text_col, k=k, min_docs=min_docs)
+        _merge_spans(_gram_hits_toks(base, k, min_docs), k)
         .groupBy("doc_id")
         .agg(
             F.collect_list(F.struct("span_start", "span_end")).alias("spans")
         )
-    )
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("__text"),
-        _tokens(F.col(text_col)).alias("toks"),
     )
     joined = base.join(spans_agg, "doc_id", "left").withColumn(
         "spans",
@@ -323,13 +328,14 @@ def trim_duplicate_spans(
             lambda s: (i >= s.span_start) & (i < s.span_end),
         ),
     )
+    is_null = F.col("toks").isNull()
     return joined.select(
         "doc_id",
-        F.when(F.col("__text").isNull(), F.lit(None).cast("string"))
+        F.when(is_null, F.lit(None).cast("string"))
         .otherwise(F.concat_ws(" ", kept))
         .alias("trimmed_text"),
         F.coalesce(F.size("toks"), F.lit(0)).cast("long").alias("n_tokens"),
-        F.when(F.col("__text").isNull(), F.lit(0))
+        F.when(is_null, F.lit(0))
         .otherwise(F.size(kept))
         .cast("long")
         .alias("n_kept_tokens"),

@@ -329,10 +329,18 @@ def gopher_quality_filter(
     repetition_stats, lang_id_heuristic) joined on doc_id — three
     hash-agg passes over the token stream plus two broadcast-friendly
     equi-joins; no windows, no Python."""
-    ts = token_stats(docs, id_col=id_col, text_col=text_col)
+    # NULL text propagates NULL through every token stat, and a
+    # NULL-valued rule condition silently fails to fire (keep=true for
+    # the most degenerate document). Normalize: zero counts + 'und'
+    # language, so too_short and no_lang fire exactly as for "".
+    ts = token_stats(docs, id_col=id_col, text_col=text_col).select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("total_token_len", F.lit(0)).alias("total_token_len"),
+    )
     rep = repetition_stats(docs, id_col=id_col, text_col=text_col, n=n)
     lang = lang_id_heuristic(docs, id_col=id_col, text_col=text_col).select(
-        "doc_id", "lang_pred"
+        "doc_id", F.coalesce("lang_pred", F.lit("und")).alias("lang_pred")
     )
     j = ts.join(rep.drop("n_tokens"), "doc_id").join(lang, "doc_id")
     rules = [

@@ -312,6 +312,7 @@ def test_gopher_quality_filter_rules(spark):
         (3, "the " + "spam ham " * 20),                  # repetition rules
         (4, "zz qq " * 15),                              # no_lang
         (5, "the " + " ".join("x" for _ in range(30))),  # tokens_too_short
+        (6, None),                                       # NULL text
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.asDict() for r in gopher_quality_filter(df).collect()}
@@ -321,6 +322,9 @@ def test_gopher_quality_filter_rules(spark):
     assert {"top_ngram", "dup_ngrams"} <= set(got[3]["reasons"])
     assert "no_lang" in got[4]["reasons"]
     assert "tokens_too_short" in got[5]["reasons"]
+    # NULL text is the most degenerate doc: must NOT sail through
+    assert not got[6]["keep"]
+    assert {"too_short", "no_lang"} <= set(got[6]["reasons"])
     # reasons appear in fixed rule order (deterministic for the oracle)
     assert got[3]["reasons"] == sorted(
         got[3]["reasons"],
@@ -355,6 +359,7 @@ def test_mixture_sample_rebalances(spark):
         [(i, "en") for i in range(800)]
         + [(1000 + i, "de") for i in range(150)]
         + [(2000 + i, "fr") for i in range(50)]
+        + [(3000 + i, "xx") for i in range(25)]  # outside the target mix
     )
     df = spark.createDataFrame(rows, "doc_id long, lang string").cache()
     out = mixture_sample(df, {"en": 0.5, "de": 0.3, "fr": 0.2}).collect()
