@@ -179,18 +179,21 @@ class NearDupPipeline:
             # fusing JVM shuffles with Python UDF stages double-books
             # every core with a task thread AND a Python worker (measured
             # ~2.4x edges wall).
-            t0 = time.time()
             pairs, cap_star, ph_star = combined_candidates(
                 features,
                 phash_mode=self.cfg.phash_band_mode,
                 bucket_cap=self.cfg.bucket_cap,
             )
-            # eager cut: the pairs frame feeds two family filters below;
-            # without it each filter re-runs the pair self-join
-            pairs = pairs.localCheckpoint()
-            self._last_sub_walls = {
-                "candidates": round(time.time() - t0, 3)
-            }
+            # lazy cut: the pairs frame feeds two family filters below;
+            # without the checkpoint each filter re-runs the pair
+            # self-join. eager=False keeps the driver moving — the
+            # candidate chain materializes INSIDE the stage's one write
+            # job, overlapping with the exact/pixel branches instead of
+            # blocking them behind a separate checkpoint job (the
+            # BlockManager's per-partition get-or-compute lock still
+            # guarantees the subtree computes once even with both verify
+            # branches pulling it concurrently)
+            pairs = pairs.localCheckpoint(eager=False)
             cap_near = verify_caption_pairs(
                 pairs.filter("from_caption").select("src", "dst"),
                 images,
