@@ -76,13 +76,19 @@ def pairs_from_buckets(
     )
     b = rows.join(stats, ["band", "key"])
     if materialize:
-        # EAGER on purpose: three consumers read b, and a lazy checkpoint
-        # materializes only as the first consuming job runs — concurrent
-        # tasks of that job then recompute b's upstream up to 3x before
-        # blocks land (measured 34s vs 11s on 17M band rows). Callers that
-        # want cross-family overlap build each family in its own thread
-        # (plans/pipeline.py).
-        b = b.localCheckpoint()
+        # LAZY cut: the checkpoint still guarantees b's subtree computes
+        # once for its three consumers (the BlockManager's per-partition
+        # get-or-compute lock dedupes concurrent pulls within the first
+        # consuming job), but the driver is not blocked on a separate
+        # materialization job — b computes INSIDE whichever job consumes
+        # the pairs first, overlapping with that job's other branches.
+        # Measured at 320k rows / 4x2 executors (full edges stage, warm):
+        # eager 16.2s, lazy 15.5s, no checkpoint at all 21.6s (the 3
+        # consumers recompute the band DAG). An earlier eager-vs-lazy gap
+        # (34s vs 11s on 17M band rows) predates the lazy checkpoint of
+        # the downstream pairs frame — with pairs also lazy, everything
+        # lands in one job and eagerness only adds a barrier.
+        b = b.localCheckpoint(eager=False)
     small = b.filter(F.col("n") <= bucket_cap).select("id", "band", "key")
     # SHUFFLE_HASH hint: the checkpointed bucket frame carries no size
     # stats, so Catalyst happily BROADCASTS tens of millions of band rows

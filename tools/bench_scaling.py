@@ -83,15 +83,21 @@ def run_at(
     corpus: str,
     zip_path: str,
     out_dir: str,
-    shuffle_partitions: int = 128,
+    shuffle_partitions: int = 32,
     master: str | None = None,
     executor_mem: str = "8192",
 ) -> dict:
     """One cold spark-submit run. shuffle_partitions is sized to the DATA
     (identical at every cluster size — you don't retune it per cluster):
-    the LSH band explode is ~27x the input rows, so 128 partitions keeps
-    per-reducer state bounded at the bench scales; AQE coalesces the many
-    small stages back down at runtime.
+    the LSH band explode is ~27x the input rows, so 32 partitions keeps
+    per-reducer state at ~1M skinny band rows (tens of MB) at the bench
+    scales, while AQE coalesces the smaller stages further and splits any
+    skewed reducer. 128 was measured to cost ~10s of pure task-wave /
+    shuffle-block bookkeeping per pipeline pass on the edges stage at 4x2
+    executors (25.2s -> 15.5s at 32 partitions, same output) — per-task
+    overhead dominated real work at sandbox row counts. At 100 TB the same
+    sizing rule (bound per-reducer state, let AQE split skew) gives a much
+    larger absolute count.
 
     master: explicit master string (e.g. 'local-cluster[4,2,8192]' for a
     true multi-executor run with separate executor JVMs and netty
@@ -170,7 +176,7 @@ def write_report(results: list[dict], n: int, path: str, repeats: int = 2) -> di
         f"Best of {repeats} spark-submit invocation(s) per level; within",
         "each invocation the job runs one warm-up pass (JIT / worker-pool",
         "spin-up, the cost a long-lived ingest service pays once per",
-        "executor lifetime) then three measured passes, best kept — wall,",
+        "executor lifetime) then several measured passes, best kept — wall,",
         "throughput and the per-stage table always come from the SAME pass;",
         "the cold wall is kept in the raw JSON (`wall_sec_cold`).",
         "",

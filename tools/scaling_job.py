@@ -78,12 +78,14 @@ def main() -> None:
     # state (best measured pass) is the headline; the cold wall is kept in
     # the JSON alongside.
     wall_cold, _, n_assigned, n_dups = one_pass()
-    # 5 measured passes, best kept: the sandbox host shows ~2% average CPU
-    # steal with multi-x bursts (hypervisor neighbors), so a single pass
-    # is not a measurement — and measured pass walls keep decreasing
-    # through pass 3-4 (page cache, malloc arenas, JIT tiers), so 3
-    # passes under-sample the steady state at BOTH cluster sizes
-    measured = [one_pass() for _ in range(5)]
+    # Several measured passes, best kept: the sandbox host shows ~2%
+    # average CPU steal with multi-x bursts (hypervisor neighbors), so a
+    # single pass is not a measurement. Pass count is tunable
+    # (ODD_SCALE_PASSES): small corpora need 5 (walls keep decreasing
+    # through pass 3-4 — page cache, malloc arenas, JIT tiers), larger
+    # corpora amortize those and 3 suffices.
+    n_passes = int(os.environ.get("ODD_SCALE_PASSES", "3"))
+    measured = [one_pass() for _ in range(n_passes)]
     wall, cfg, n2, _ = min(measured, key=lambda m: m[0])
     assert n2 == n_assigned
 
