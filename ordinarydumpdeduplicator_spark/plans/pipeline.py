@@ -212,12 +212,7 @@ class NearDupPipeline:
                 .unionByName(ph_near)
             )
 
-        out = self._stage("edges", build)
-        sub = getattr(self, "_last_sub_walls", None)
-        if sub:  # candidate-family walls onto the edges metrics row
-            self.cfg.metrics[-1].update(sub)
-            self._last_sub_walls = None
-        return out
+        return self._stage("edges", build)
 
     def components(self, edges: DataFrame) -> DataFrame:
         cc_stats: dict = {}
