@@ -515,9 +515,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             hist, batch, "content_sha", n_shards=8, bits_per_shard=1 << 16
         ).select("doc_id", "lang", "source", "content_sha")
 
+    def q_soft_dedup_weights(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+            soft_dedup_weights,
+        )
+
+        return soft_dedup_weights(_docs(spark, sf))
+
+    def q_cluster_representatives(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+            cluster_representatives,
+        )
+
+        return cluster_representatives(_docs(spark, sf))
+
+    def q_source_quality_rollup(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.text_analysis import (
+            source_quality_rollup,
+        )
+
+        return source_quality_rollup(_docs(spark, sf))
+
     return {
         "exact_text_groups": q_exact_text_groups,
         "dup_text_groups": q_dup_text_groups,
+        "soft_dedup_weights": q_soft_dedup_weights,
+        "cluster_representatives": q_cluster_representatives,
+        "source_quality_rollup": q_source_quality_rollup,
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "near_dup_text_pairs": q_near_dup_text_pairs,
         "minhash_candidates": q_minhash_candidates,
@@ -608,6 +632,48 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY sha256({_NORM})) AS n_members,
                    count(*) OVER (PARTITION BY sha256({_NORM})) > 1 AS is_dup
             FROM documents
+        """,
+        "soft_dedup_weights": f"""
+            SELECT doc_id,
+                   sha256({_NORM}) AS content_sha,
+                   min(doc_id) OVER w AS cluster_id,
+                   count(*) OVER w AS n_members,
+                   1.0::DOUBLE / (count(*) OVER w) AS weight,
+                   doc_id = min(doc_id) OVER w AS is_canonical
+            FROM documents
+            WHERE text IS NOT NULL
+            WINDOW w AS (PARTITION BY sha256({_NORM}))
+        """,
+        "cluster_representatives": f"""
+            SELECT content_sha, n_members,
+                   doc_id AS rep_doc_id, n_chars_raw AS rep_chars
+            FROM (
+              SELECT sha256({_NORM}) AS content_sha,
+                     doc_id,
+                     length(text)::BIGINT AS n_chars_raw,
+                     count(*) OVER (PARTITION BY sha256({_NORM}))
+                       AS n_members,
+                     row_number() OVER (
+                       PARTITION BY sha256({_NORM})
+                       ORDER BY length(text) DESC, doc_id ASC) AS rn
+              FROM documents WHERE text IS NOT NULL
+            ) WHERE rn = 1
+        """,
+        "source_quality_rollup": f"""
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   count(DISTINCT sha256({_NORM}))::BIGINT
+                     AS n_distinct_texts,
+                   sum(length(text))::BIGINT AS sum_chars,
+                   sum(length(text))::DOUBLE / count(*) AS avg_chars,
+                   (count(*) - count(DISTINCT sha256({_NORM})))::DOUBLE
+                     / count(*) AS dup_rate,
+                   (count(*) >= 1
+                    AND (count(*) - count(DISTINCT sha256({_NORM})))::DOUBLE
+                        / count(*) <= 0.5
+                    AND sum(length(text))::DOUBLE / count(*) >= 40.0)
+                     AS keep_source
+            FROM documents GROUP BY source
         """,
         "dup_text_groups": f"""
             SELECT sha256({_NORM}) AS content_sha,

@@ -377,3 +377,54 @@ def gopher_quality_filter(
         (F.size(reasons) == 0).alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def source_quality_rollup(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    min_docs: int = 1,
+    max_dup_rate: float = 0.5,
+    min_avg_chars: float = 40.0,
+) -> DataFrame:
+    """Host/source-level quality rollup for source-grained corpus
+    filtering (the C4 / RefinedWeb move: score whole hosts by their
+    duplicate rate and document length, then keep or drop the host, not
+    individual pages). The source-grained analogue of the reference's
+    per-directory duplicate report (DuplicateReport.cs:160-203).
+
+    One hash-aggregate keyed by the source column with an exact
+    count(distinct content_sha) — Spark plans this as a two-phase
+    partial aggregate (expand + merge), the standard scale shape; the
+    key cardinality is hosts, orders of magnitude below rows, so the
+    final reduce is tiny. dup_rate and avg_chars are single int/int
+    double divisions, IEEE-identical in DuckDB, so the keep verdict is
+    value-exact under the oracle."""
+    rows = docs.select(
+        F.col(source_col).alias("source"),
+        F.sha2(normalized_text(F.col(text_col)), 256).alias("content_sha"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_raw"),
+    )
+    agg = rows.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("content_sha")).alias("n_distinct_texts"),
+        F.sum("n_chars_raw").alias("sum_chars"),
+    )
+    avg_chars = F.col("sum_chars").cast("double") / F.col("n_docs")
+    dup_rate = (
+        (F.col("n_docs") - F.col("n_distinct_texts")).cast("double")
+        / F.col("n_docs")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_distinct_texts",
+        "sum_chars",
+        avg_chars.alias("avg_chars"),
+        dup_rate.alias("dup_rate"),
+        (
+            (F.col("n_docs") >= F.lit(int(min_docs)))
+            & (dup_rate <= F.lit(float(max_dup_rate)))
+            & (avg_chars >= F.lit(float(min_avg_chars)))
+        ).alias("keep_source"),
+    )

@@ -73,6 +73,63 @@ def dup_text_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def soft_dedup_weights(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Duplicate-aware sampling weights ("soft dedup"): keep EVERY row but
+    weight it 1/n_members, so a weighted training sampler sees each
+    distinct content exactly once in expectation instead of up-weighting
+    whatever the crawl duplicated most. The drop-free counterpart of the
+    reference's hash-group dedup (DataControllerSimple.cs:252-301) — used
+    by pipelines that prefer reweighting over deletion.
+
+    Pure derivation over exact_text_groups (same single shuffle on the
+    content key, hash-agg + sort-free join back); 1.0/n is IEEE-identical
+    in Spark and DuckDB, so the oracle is value-exact. NULL-text rows are
+    excluded — their content is undefined, so they carry no dedup weight
+    (same exclusion exact_text_groups applies via its NULL equi-join key)."""
+    groups = exact_text_groups(docs, id_col=id_col, text_col=text_col)
+    return groups.select(
+        "doc_id",
+        "content_sha",
+        "cluster_id",
+        "n_members",
+        (F.lit(1.0) / F.col("n_members")).alias("weight"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def cluster_representatives(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonical-document selection per exact-content cluster: keep the
+    highest-quality member (longest RAW text — whitespace survives even
+    when the normalized key collapses it — ties broken by smallest id)
+    rather than exact_text_groups' arbitrary min-id cluster head. The
+    "which copy do we keep" step of a dedup pipeline, analogous to the
+    reference choosing which duplicate file survives isolation
+    (DuplicatesIsolator.cs).
+
+    One hash-aggregate with `max_by` over a (n_chars, -doc_id) struct —
+    no window, so nothing ever sorts rows by the 64-char sha key (the
+    window formulation is the plan tests/test_plans.py forbids for the
+    group operators). NULL-text rows are excluded (no content to
+    represent), keeping the output aligned with exact_text_groups."""
+    rows = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(normalized_text(F.col(text_col)), 256).alias("content_sha"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_raw"),
+    )
+    order = F.struct(
+        F.col("n_chars_raw").alias("c"), (-F.col("doc_id")).alias("nid")
+    )
+    return rows.groupBy("content_sha").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by("doc_id", order).alias("rep_doc_id"),
+        F.max("n_chars_raw").alias("rep_chars"),
+    )
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
