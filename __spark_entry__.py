@@ -536,12 +536,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return source_quality_rollup(_docs(spark, sf))
 
+    def q_dup_size_histogram(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+            dup_size_histogram,
+        )
+
+        return dup_size_histogram(_docs(spark, sf))
+
+    def q_near_dup_text_clusters(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+            near_dup_text_clusters,
+        )
+
+        return near_dup_text_clusters(_docs(spark, sf))
+
+    def q_user_sessions(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.states import sessionize
+
+        return sessionize(_tbl(spark, sf, "events"), gap_minutes=30)
+
     return {
         "exact_text_groups": q_exact_text_groups,
         "dup_text_groups": q_dup_text_groups,
         "soft_dedup_weights": q_soft_dedup_weights,
         "cluster_representatives": q_cluster_representatives,
         "source_quality_rollup": q_source_quality_rollup,
+        "dup_size_histogram": q_dup_size_histogram,
+        "near_dup_text_clusters": q_near_dup_text_clusters,
+        "user_sessions": q_user_sessions,
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "near_dup_text_pairs": q_near_dup_text_pairs,
         "minhash_candidates": q_minhash_candidates,
@@ -699,6 +721,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "dup_size_histogram": f"""
+            SELECT n_members,
+                   count(*)::BIGINT AS n_clusters,
+                   sum(n_members)::BIGINT AS n_docs
+            FROM (
+              SELECT count(*)::BIGINT AS n_members
+              FROM documents WHERE text IS NOT NULL
+              GROUP BY sha256({_NORM})
+            ) GROUP BY n_members
+        """,
+        "user_sessions": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+              FROM flagged
+            )
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*)::BIGINT AS n_events,
+                   (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT
+                     AS duration_us,
+                   round(sum(value), 2) AS sum_value
+            FROM numbered GROUP BY user_id, session_seq
         """,
         "latest_event_per_user": """
             SELECT user_id, event_id, event_type, value FROM (

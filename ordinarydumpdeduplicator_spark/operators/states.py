@@ -154,3 +154,63 @@ def detect_moved(states: DataFrame, runs: DataFrame) -> DataFrame:
         )
     )
     return intra.unionByName(cross).distinct()
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessionization: split each user's event stream into
+    sessions wherever consecutive events are more than ``gap_minutes``
+    apart, then roll each session up to (start, end, count, duration,
+    value sum). The composite generalization of the J6 previousState
+    chain (with_previous_state above): the same per-entity lag window,
+    but the lag feeds a cumulative-sum session counter instead of a
+    status compare.
+
+    Scale shape: both window passes (lag + running sum) share one
+    (user, ts, tiebreak) sort, so Catalyst plans a single Exchange +
+    Sort reused by two Window nodes, and the final rollup groups on
+    (user, session_seq) — a subset of the window partition key, so AQE
+    can coalesce without a second wide shuffle. Event time is compared
+    in integer microseconds (``timestamp_diff``, NTZ-native — the parquet
+    column is TIMESTAMP_NTZ, which ``unix_micros`` rejects) — exact, no
+    float drift — and the value sum is rounded to 2 decimals to stay
+    hash-stable against the DuckDB oracle (same as pricing_summary)."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    gap = F.timestamp_diff("MICROSECOND", prev_ts, F.col(ts_col))
+    flagged = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(order_tiebreak).alias("_tb"),
+        F.col(value_col).alias("_value"),
+        F.when(prev_ts.isNull() | (gap > gap_us), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_new_session"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        "_value",
+        F.sum("_new_session").over(wcum).alias("session_seq"),
+    )
+    start = F.min("ts")
+    end = F.max("ts")
+    return numbered.groupBy("user_id", "session_seq").agg(
+        start.alias("session_start"),
+        end.alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.timestamp_diff("MICROSECOND", start, end).alias("duration_us"),
+        F.round(F.sum("_value"), 2).alias("sum_value"),
+    )

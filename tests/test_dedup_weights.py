@@ -88,3 +88,62 @@ def test_source_quality_rollup(spark):
     # null text source: sum_chars is NULL-sum -> None; keep verdict False/None-safe
     ns = rows["null_src"]
     assert ns["n_docs"] == 1 and not ns["keep_source"]
+
+
+def test_dup_size_histogram(spark):
+    from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+        dup_size_histogram,
+    )
+
+    rows = {
+        r["n_members"]: r for r in dup_size_histogram(_docs(spark)).collect()
+    }
+    # clusters: A=3 members, B=1, C=2 (null text excluded entirely)
+    assert rows[3]["n_clusters"] == 1 and rows[3]["n_docs"] == 3
+    assert rows[1]["n_clusters"] == 1 and rows[1]["n_docs"] == 1
+    assert rows[2]["n_clusters"] == 1 and rows[2]["n_docs"] == 2
+    assert sum(r["n_docs"] for r in rows.values()) == 6
+
+
+def test_near_dup_text_clusters_pinned_vs_union_find(spark):
+    """Cluster assignment == union-find over the verified pair list, with
+    numeric-min heads; singletons assigned to themselves."""
+    from ordinarydumpdeduplicator_spark.operators.connected_components import (
+        uf_components,
+    )
+    from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+        near_dup_text_clusters,
+        near_dup_text_pairs,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .orderBy("doc_id")
+        .limit(200)
+        .cache()
+    )
+    pairs = [
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in near_dup_text_pairs(docs).collect()
+    ]
+    assert pairs, "corpus subset should contain near-dups"
+    comp = uf_components([(str(a), str(b)) for a, b in pairs])
+    # remap string components to numeric-min heads
+    members: dict[str, list[int]] = {}
+    for node, c in comp.items():
+        members.setdefault(c, []).append(int(node))
+    expected = {}
+    for mem in members.values():
+        head = min(mem)
+        for m in mem:
+            expected[m] = (head, len(mem))
+    got = {
+        r["doc_id"]: r for r in near_dup_text_clusters(docs).collect()
+    }
+    all_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    assert set(got) == set(all_ids)  # every doc assigned
+    for d in all_ids:
+        r = got[d]
+        exp_head, exp_n = expected.get(d, (d, 1))
+        assert (r["cluster_id"], r["n_members"]) == (exp_head, exp_n)
+        assert r["is_canonical"] == (r["cluster_id"] == d)
