@@ -138,6 +138,8 @@ def main() -> None:
         "semantic_dedup",
         "ivf_pq_topk",
         "incremental_new_docs",
+        "user_sessions",
+        "source_quality_rollup",
     ]
     for name in headline:
         fn = qs[name]

@@ -110,18 +110,29 @@ def cluster_representatives(
     reference choosing which duplicate file survives isolation
     (DuplicatesIsolator.cs).
 
-    One hash-aggregate with `max_by` over a (n_chars, -doc_id) struct —
-    no window, so nothing ever sorts rows by the 64-char sha key (the
-    window formulation is the plan tests/test_plans.py forbids for the
-    group operators). NULL-text rows are excluded (no content to
-    represent), keeping the output aligned with exact_text_groups."""
+    One hash-aggregate with `max_by` — no window, so nothing ever sorts
+    rows by the 64-char sha key (the window formulation is the plan
+    tests/test_plans.py forbids for the group operators). The
+    (n_chars DESC, doc_id ASC) ordering is packed into ONE decimal(38,0)
+    value ``n_chars * 2e19 - doc_id`` instead of a struct: max_by over a
+    struct ordering key is not hash-aggregable (struct buffer fields are
+    immutable in UnsafeRow, so Spark falls back to SortAggregate — a
+    full local sort of the corpus by sha on the map side), while a
+    decimal buffer keeps the whole thing a HashAggregate. The band width
+    2e19 exceeds the full bigint range (|doc_id| <= ~9.2e18), so the
+    packing is order-exact for ANY doc_id, and the product tops out near
+    4e28 for int-sized text lengths — far inside decimal(38,0). NULL-text
+    rows are excluded (no content to represent), keeping the output
+    aligned with exact_text_groups."""
     rows = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.sha2(normalized_text(F.col(text_col)), 256).alias("content_sha"),
         F.length(F.col(text_col)).cast("long").alias("n_chars_raw"),
     )
-    order = F.struct(
-        F.col("n_chars_raw").alias("c"), (-F.col("doc_id")).alias("nid")
+    order = F.expr(
+        "cast(n_chars_raw as decimal(38,0))"
+        " * cast(20000000000000000000 as decimal(38,0))"
+        " - cast(doc_id as decimal(38,0))"
     )
     return rows.groupBy("content_sha").agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -336,11 +347,13 @@ def near_dup_text_clusters(
     Not SQL-expressible (the CC fixpoint); pinned in tests against the
     driver-side union-find oracle over the (oracle-verified) pair list.
 
-    Scale shape: pair volume is bounded by the LSH bucket caps, the CC
-    edge frame is orders of magnitude below corpus size, and the final
-    assignment join is a broadcast (components only span docs that had a
-    verified pair). The remap to numeric-min heads costs one aggregate
-    over the assignment frame, keyed by component — tiny."""
+    Scale shape: pair volume is bounded by the LSH bucket caps and the CC
+    edge frame is orders of magnitude below corpus size. The numeric-min
+    head remap is one aggregate + equi-join on the component key, both
+    sides derived from the same assignment frame — left to AQE, which
+    broadcasts when the head set is small and shuffle-joins when a
+    web-scale corpus makes it large (no unconditional broadcast: on crawl
+    data a third of all docs can sit in fuzzy clusters)."""
     pairs = near_dup_text_pairs(
         docs, id_col=id_col, text_col=text_col,
         jaccard_threshold=jaccard_threshold,
@@ -361,7 +374,7 @@ def near_dup_text_clusters(
         F.min("doc_id").alias("cluster_id"),
         F.count(F.lit(1)).alias("n_members"),
     )
-    clustered = members.join(F.broadcast(heads), "component").select(
+    clustered = members.join(heads, "component").select(
         "doc_id", "cluster_id", "n_members"
     )
     everyone = docs.select(F.col(id_col).alias("doc_id"))

@@ -155,3 +155,31 @@ def test_bloom_probe_is_cogrouped(spark):
                     bits_per_shard=1 << 12)
     )
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_sessionize_single_exchange_shared_by_windows(spark, queries):
+    """Both window passes (lag flag + running session counter) AND the
+    session rollup must share ONE Exchange on user_id: hash-partitioning
+    on user_id satisfies the (user_id, session_seq) grouping, so no
+    second wide shuffle appears anywhere in the plan. Spark re-sorts
+    between the two Window nodes (in-partition, already-ordered input —
+    an O(n) pass, not a shuffle), so up to 2 Sort nodes are expected."""
+    import re
+
+    plan = plan_of(queries["user_sessions"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) <= 2
+    assert "Python" not in plan and "Join" not in plan
+
+
+def test_cluster_representatives_no_sha_sort(spark, queries):
+    """max_by keeps the representative selection a pure hash-aggregate —
+    no Sort node (the window formulation would sort rows by the sha)."""
+    plan = plan_of(queries["cluster_representatives"](spark, SF))
+    assert "Sort" not in plan.replace("SortAggregate", "")
+    assert "HashAggregate" in plan
+
+
+def test_dup_size_histogram_two_aggregates_no_join(spark, queries):
+    plan = plan_of(queries["dup_size_histogram"](spark, SF))
+    assert "Join" not in plan and "Window" not in plan

@@ -61,6 +61,19 @@ def main() -> None:
             except Exception:
                 pass
         spark.catalog.clearCache()
+        # the INTRA-stage lazy localCheckpoints (bucket frame, candidate
+        # pairs inside edges) are locals of the stage builders — not in
+        # `res`, not catalog-cached, so neither loop above frees them.
+        # Left alone they accumulate across passes until executor storage
+        # eviction/GC pressure makes pass walls DRIFT UP (measured
+        # 88 -> 122 -> 152 s across 3 passes at 4x2 executors). Sweep every
+        # persisted RDD the JVM still tracks.
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in jmap.values():
+                jrdd.unpersist(True)
+        except Exception:
+            pass
         import gc
 
         gc.collect()  # drop py4j refs so ContextCleaner frees RDD blocks
