@@ -555,6 +555,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return sessionize(_tbl(spark, sf, "events"), gap_minutes=30)
 
+    # the documents fixture is single-line word soup; build a realistic
+    # page per doc IN-PLAN (shared boilerplate header/footer around the
+    # unique body — the exact shape CCNet-style line dedup exists for).
+    # Deterministic, same construction in the DuckDB oracle.
+    def _paged_docs(spark, sf):
+        d = _docs(spark, sf)
+        return d.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("boilerplate header of "), F.col("source")),
+                F.col("text"),
+                F.concat(F.lit("copyright footer lang="), F.col("lang")),
+            ).alias("text"),
+        )
+
+    def q_line_dup_stats(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.line_dedup import (
+            line_duplication_stats,
+        )
+
+        return line_duplication_stats(_paged_docs(spark, sf))
+
+    def q_line_dedup_clean(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.line_dedup import line_dedup
+
+        return line_dedup(_paged_docs(spark, sf))
+
+    def q_pii_scrub(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.pii import pii_scrub
+
+        return pii_scrub(_docs(spark, sf))
+
     return {
         "exact_text_groups": q_exact_text_groups,
         "dup_text_groups": q_dup_text_groups,
@@ -564,6 +597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_size_histogram": q_dup_size_histogram,
         "near_dup_text_clusters": q_near_dup_text_clusters,
         "user_sessions": q_user_sessions,
+        "line_dup_stats": q_line_dup_stats,
+        "line_dedup_clean": q_line_dedup_clean,
+        "pii_scrub": q_pii_scrub,
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "near_dup_text_pairs": q_near_dup_text_pairs,
         "minhash_candidates": q_minhash_candidates,
@@ -756,6 +792,98 @@ def oracle_sql() -> dict[str, str]:
                      AS duration_us,
                    round(sum(value), 2) AS sum_value
             FROM numbered GROUP BY user_id, session_seq
+        """,
+        "line_dup_stats": """
+            WITH paged AS (
+              SELECT doc_id,
+                     concat_ws(chr(10),
+                               'boilerplate header of ' || source,
+                               text,
+                               'copyright footer lang=' || lang) AS text
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+              FROM paged WHERE text IS NOT NULL
+            )
+            SELECT md5(trim(lower(line))) AS key,
+                   count(*)::BIGINT AS n_occurrences,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   min(length(line)) AS line_chars
+            FROM lines WHERE trim(lower(line)) <> ''
+            GROUP BY key HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "line_dedup_clean": """
+            WITH paged AS (
+              SELECT doc_id,
+                     concat_ws(chr(10),
+                               'boilerplate header of ' || source,
+                               text,
+                               'copyright footer lang=' || lang) AS text
+              FROM documents
+            ), rows AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(len(string_split(text, chr(10)))))
+                       AS line_no
+              FROM paged WHERE text IS NOT NULL
+            ), keyed AS (
+              SELECT doc_id, line_no, line,
+                     CASE WHEN trim(lower(line)) <> ''
+                          THEN md5(trim(lower(line))) END AS key
+              FROM rows
+            ), dup_keys AS (
+              SELECT key FROM keyed
+              WHERE key IS NOT NULL AND length(trim(line)) >= 10
+              GROUP BY key HAVING min(doc_id) <> max(doc_id)
+            ), flagged AS (
+              SELECT k.doc_id, k.line_no, k.line,
+                     (d.key IS NOT NULL
+                      AND length(trim(k.line)) >= 10) AS drop_line
+              FROM keyed k LEFT JOIN dup_keys d ON k.key = d.key
+            )
+            SELECT doc_id,
+                   coalesce(
+                     string_agg(CASE WHEN NOT drop_line THEN line END,
+                                chr(10) ORDER BY line_no),
+                     '') AS clean_text,
+                   count(*)::BIGINT AS n_lines,
+                   sum(CASE WHEN drop_line THEN 1 ELSE 0 END)::BIGINT
+                     AS n_dropped,
+                   sum(CASE WHEN drop_line THEN length(line)
+                            ELSE 0 END)::BIGINT AS chars_removed
+            FROM flagged GROUP BY doc_id
+        """,
+        "pii_scrub": r"""
+            WITH s0 AS (
+              SELECT doc_id, text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                       AS p_email,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b' AS p_ip,
+                     '\+?\b\d[\d() -]{7,}\d\b' AS p_phone
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id, p_ip, p_phone,
+                     len(regexp_extract_all(text, p_email))::BIGINT
+                       AS n_emails,
+                     regexp_replace(text, p_email, '<EMAIL>', 'g') AS t1
+              FROM s0
+            ), s2 AS (
+              SELECT doc_id, p_phone, n_emails,
+                     len(regexp_extract_all(t1, p_ip))::BIGINT AS n_ips,
+                     regexp_replace(t1, p_ip, '<IP>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, p_phone, '<PHONE>', 'g')
+                     AS clean_text,
+                   coalesce(n_emails, 0) AS n_emails,
+                   coalesce(n_ips, 0) AS n_ips,
+                   coalesce(len(regexp_extract_all(t2, p_phone)), 0)::BIGINT
+                     AS n_phones,
+                   (coalesce(n_emails, 0) + coalesce(n_ips, 0)
+                    + coalesce(len(regexp_extract_all(t2, p_phone)), 0)) > 0
+                     AS has_pii
+            FROM s2
         """,
         "latest_event_per_user": """
             SELECT user_id, event_id, event_type, value FROM (
