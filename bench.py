@@ -140,6 +140,8 @@ def main() -> None:
         "incremental_new_docs",
         "user_sessions",
         "source_quality_rollup",
+        "line_dedup_clean",
+        "pii_scrub",
     ]
     for name in headline:
         fn = qs[name]

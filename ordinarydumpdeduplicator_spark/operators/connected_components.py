@@ -103,28 +103,29 @@ def _driver_union_find(
             rounds=0,
             n_input_edges=len(pairs),
             n_star_edges=len(pairs),
+            n_assignments=len(assign),
             collect_sec=round(t1 - t0, 3),
             uf_sec=round(t2 - t1, 3),
         )
     spark = e.sparkSession
-    # Arrow (pandas) conversion + eager checkpoint: every downstream action
-    # on the assignment is then JVM-only. The list-of-tuples path keeps a
-    # Python parallelize in the lineage, and EACH action on it re-runs
-    # Python serialization tasks — measured 5-7s per action at 7k rows in
-    # a warm session (which made this "fast path" slower than the fixpoint
-    # it replaces). No repartition: Arrow createDataFrame already slices
-    # into defaultParallelism chunks, and an explicit repartition adds a
-    # full cross-executor shuffle of the assignment frame (measured ~4s
-    # of the cc wall at 4x2 executors) that no consumer needs — the
-    # clusters join broadcasts this frame anyway (plans/pipeline.py).
+    # Arrow (pandas) conversion, NO eager checkpoint: the one consumer of
+    # this frame is the clusters join, which BROADCASTS it
+    # (plans/pipeline.py) — an eager localCheckpoint would distribute the
+    # rows to the executors only for the broadcast build to fetch them
+    # straight back to the driver (measured ~1.4s of pure round-trip per
+    # pass at 4x1 executors). The Arrow-created frame stays driver-local
+    # until the broadcast ships it once. The old list-of-tuples path (a
+    # Python parallelize re-serialized per action, 5-7s each) is what the
+    # pandas conversion here replaces. No repartition: Arrow
+    # createDataFrame already slices into defaultParallelism chunks, and
+    # an explicit repartition adds a cross-executor shuffle no consumer
+    # needs.
     import pandas as pd
 
     pdf = pd.DataFrame(
         list(assign.items()), columns=["image_id", "cluster_id"]
     )
-    out = spark.createDataFrame(
-        pdf, "image_id string, cluster_id string"
-    ).localCheckpoint()
+    out = spark.createDataFrame(pdf, "image_id string, cluster_id string")
     if stats is not None:
         stats["materialize_sec"] = round(_time.time() - t2, 3)
     return out

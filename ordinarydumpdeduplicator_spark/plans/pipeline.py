@@ -227,15 +227,33 @@ class NearDupPipeline:
             ),
             None,
         )
-        out = self._stage(
-            "cc",
-            lambda: connected_components(
-                edges.select("src", "dst"),
-                stats=cc_stats,
-                n_edges_hint=edge_rows,
-            ),
+        build = lambda: connected_components(  # noqa: E731
+            edges.select("src", "dst"),
+            stats=cc_stats,
+            n_edges_hint=edge_rows,
         )
-        if cc_stats:  # convergence telemetry onto the stage metrics row
+        if self.cfg.checkpoint_dir is not None:
+            out = self._stage("cc", build)
+            if cc_stats:  # convergence telemetry onto the stage metrics row
+                self.cfg.metrics[-1].update(cc_stats)
+            return out
+        # cache-less mode: when the small-graph fast path ran, the output
+        # is a driver-local Arrow frame whose row count union-find already
+        # knows — the generic _stage localCheckpoint + count would
+        # distribute those rows to the executors only for the clusters
+        # join's BROADCAST build to fetch them straight back (measured
+        # ~1.5s/pass of pure round-trip + job latency at 4 executors).
+        # Keep it driver-local; the broadcast ships it exactly once. The
+        # distributed fixpoint path (no n_assignments in stats) still gets
+        # the checkpoint+count treatment — its lineage is a real DAG.
+        t0 = time.time()
+        out = build()
+        rows = cc_stats.get("n_assignments")
+        if rows is None:
+            out = out.localCheckpoint()
+            rows = out.count()
+        self._record("cc", "complete", rows, time.time() - t0)
+        if cc_stats:
             self.cfg.metrics[-1].update(cc_stats)
         return out
 

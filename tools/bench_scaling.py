@@ -215,7 +215,7 @@ def write_report(results: list[dict], n: int, path: str, repeats: int = 2) -> di
         lines.append("| " + " | ".join(row) + " |")
     lines += [
         "",
-        "## Why small executors (and not 8 -> 32 cores on one box)",
+        "## Why small (single-core) executors and not more cores on one box",
         "",
         "All cluster sizes run the identical `spark-submit --py-files` job",
         "on the identical corpus. Larger single-box configurations were",
@@ -223,11 +223,18 @@ def write_report(results: list[dict], n: int, path: str, repeats: int = 2) -> di
         "still rises, but far short of 4x) for reasons that are artifacts",
         "of co-locating every \"executor\" on one machine — adding threads",
         "to one box does not add memory bandwidth or kernel instances the",
-        "way adding real executors does. The dated measurements behind that",
-        "statement (core sweeps, pure-CPU scaling probe, vmstat system-time",
-        "traces, per-worker decode throughput) are recorded in",
-        "`BENCH/colocation-observations.md` — they are historical evidence",
-        "from this machine, not regenerated by this tool.",
+        "way adding real executors does. The measured contention ONSET on",
+        "this box (per-core decode throughput flat from 1 to 4 resident",
+        "workers, -15% at 2->8, -45% at 8; ALU-bound work scales at 0.90",
+        "to 32 processes) is why the headline pairing uses SINGLE-core",
+        "executors: 1 vs 4 one-core executor JVMs keeps both levels below",
+        "the onset, so the ratio measures the dataflow's executor scaling",
+        "(task distribution, netty shuffle, per-stage coordination) rather",
+        "than the host's memory subsystem. The measurements behind this",
+        "(core sweeps, pure-CPU scaling probe, vmstat system-time traces,",
+        "per-worker decode throughput, the onset table) are recorded in",
+        "`BENCH/colocation-observations.md` — historical evidence from",
+        "this machine, not regenerated by this tool.",
         "",
         "Raw JSON:",
         "",
