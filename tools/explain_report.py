@@ -43,6 +43,13 @@ HEADLINE = [
     "token_freq_quality",
     "gopher_filter",
     "incremental_new_docs",
+    "user_sessions",
+    "cluster_representatives",
+    "source_quality_rollup",
+    "dup_size_histogram",
+    "line_dup_stats",
+    "line_dedup_clean",
+    "pii_scrub",
 ]
 
 
