@@ -588,6 +588,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pii_scrub(_docs(spark, sf))
 
+    def q_tfidf_keywords(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.text_analysis import (
+            tfidf_keywords,
+        )
+
+        return tfidf_keywords(_docs(spark, sf))
+
     return {
         "exact_text_groups": q_exact_text_groups,
         "dup_text_groups": q_dup_text_groups,
@@ -600,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dup_stats": q_line_dup_stats,
         "line_dedup_clean": q_line_dedup_clean,
         "pii_scrub": q_pii_scrub,
+        "tfidf_keywords": q_tfidf_keywords,
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "near_dup_text_pairs": q_near_dup_text_pairs,
         "minhash_candidates": q_minhash_candidates,
@@ -884,6 +892,34 @@ def oracle_sql() -> dict[str, str]:
                     + coalesce(len(regexp_extract_all(t2, p_phone)), 0)) > 0
                      AS has_pii
             FROM s2
+        """,
+        "tfidf_keywords": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                            '\\s+'), x -> x <> '')) AS token
+              FROM documents WHERE text IS NOT NULL
+            ), tf AS (
+              SELECT doc_id, token, count(*)::BIGINT AS tf
+              FROM toks GROUP BY doc_id, token
+            ), dft AS (
+              SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token
+            ), n AS (
+              SELECT count(*)::BIGINT AS n_docs FROM documents
+              WHERE text IS NOT NULL
+            ), scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf,
+                     tf.tf * (ln((n.n_docs + 1)::DOUBLE
+                                 / (dft.df + 1)::DOUBLE) + 1.0) AS score
+              FROM tf JOIN dft USING (token) CROSS JOIN n
+            )
+            SELECT doc_id, rank, token, tf, round(score, 6) AS score
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score DESC, token ASC)::BIGINT AS rank
+              FROM scored)
+            WHERE rank <= 5
         """,
         "latest_event_per_user": """
             SELECT user_id, event_id, event_type, value FROM (

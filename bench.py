@@ -142,6 +142,7 @@ def main() -> None:
         "source_quality_rollup",
         "line_dedup_clean",
         "pii_scrub",
+        "tfidf_keywords",
     ]
     for name in headline:
         fn = qs[name]

@@ -428,3 +428,79 @@ def source_quality_rollup(
             & (avg_chars >= F.lit(float(min_avg_chars)))
         ).alias("keep_source"),
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-k keywords by smoothed TF-IDF.
+
+    score = tf * (ln((N + 1) / (df + 1)) + 1) — the sklearn-style smooth
+    idf, computed entirely in-plan so the operator is one self-contained
+    DataFrame expression (no fitted state to ship). Ties break on token
+    ASC so ranks are deterministic; both engines evaluate the identical
+    double-precision formula, so the DuckDB oracle is value-exact.
+
+    Scale shape: the token explode is map-only; tf is a hash-agg on
+    (doc, token); df is a hash-agg on token over the tf frame (already
+    one row per (doc, token) — df = count(*), no distinct expansion);
+    the idf join is a plain shuffle join on the token key (vocabulary is
+    Zipf-heavy-tailed but per-key rows are bounded by corpus doc count,
+    and the hot head tokens are exactly the low-idf ones — skew-safe);
+    N arrives via a broadcast single-row cross join, never a collect.
+    The only sort is the per-document top-k window, keyed by doc —
+    group-local, bounded by the doc's distinct-token count.
+
+    Reference analogue: none (the reference never inspects content) —
+    beyond-reference training-pipeline surface, SURVEY.md §2.12.
+    """
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = (
+        docs.where(F.col(text_col).isNotNull())
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    scored = (
+        tf.join(df_t, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1)).cast("double")
+                        / (F.col("df") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "doc_id",
+            "rank",
+            "token",
+            "tf",
+            F.round("score", 6).alias("score"),
+        )
+    )

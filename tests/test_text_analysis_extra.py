@@ -149,3 +149,32 @@ def test_repetition_stats_hand_case(spark):
     }
     assert out[4]["n_ngrams"] == 3 and out[4]["top_ngram_count"] == 3
     assert out[4]["dup_ngram_positions"] == 3
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    import math
+
+    from ordinarydumpdeduplicator_spark.operators.text_analysis import (
+        tfidf_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry dog"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(docs, k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["token"], r["tf"], r["score"]) for r in out}
+    idf2 = math.log(4 / 3) + 1  # df=2 tokens (banana, cherry), N=3
+    idf1 = math.log(4 / 2) + 1  # df=1 tokens (apple, dog)
+    assert got[(1, 1)] == ("apple", 2, round(2 * idf1, 6))
+    assert got[(1, 2)] == ("banana", 1, round(idf2, 6))
+    # doc 2: banana and cherry tie exactly -> token ASC breaks it
+    assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
+    assert got[(3, 1)] == ("cherry", 2, round(2 * idf2, 6))
+    assert got[(3, 2)] == ("dog", 1, round(idf1, 6))
+    assert all(doc != 4 for doc, _ in got)  # NULL text excluded
