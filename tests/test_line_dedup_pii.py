@@ -106,3 +106,33 @@ def test_pii_scrub_order_ip_before_phone(spark):
     row = pii_scrub(df).collect()[0]
     assert row["clean_text"] == "ping <IP> now"
     assert row["n_ips"] == 1 and row["n_phones"] == 0
+
+
+def test_pii_scrub_composes_with_streams(spark, tmp_path):
+    """pii_scrub is a stateless projection — the same operator call works
+    under readStream unchanged (no aggregation, no watermark needed)."""
+    import os
+
+    ind, outd, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(ind)
+    spark.createDataFrame(
+        [(1, "mail jo@x.co now"), (2, "nothing here")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(ind + "/b0")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        ind + "/*"
+    )
+    q = (
+        pii_scrub(stream)
+        .writeStream.format("parquet")
+        .option("path", outd)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.read.parquet(outd).collect()}
+    assert got[1]["clean_text"] == "mail <EMAIL> now"
+    assert got[1]["n_emails"] == 1 and got[1]["has_pii"] is True
+    assert got[2]["has_pii"] is False
