@@ -1165,6 +1165,7 @@ def oracle_sql() -> dict[str, str]:
         # hyperplane literals) — ordinarydumpdeduplicator_spark/oracles.py
         "minhash_candidates": osql.minhash_candidates_sql(),
         "near_dup_text_pairs": osql.near_dup_text_pairs_sql(),
+        "near_dup_text_clusters": osql.near_dup_text_clusters_sql(),
         "simhash_near_pairs": osql.simhash_near_pairs_sql(),
         "winnowing_fingerprints": osql.winnowing_fingerprints_sql(),
         "embedding_near_pairs_lsh": osql.embedding_near_pairs_lsh_sql(

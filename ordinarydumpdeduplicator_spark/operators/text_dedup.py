@@ -344,8 +344,11 @@ def near_dup_text_clusters(
     exact_text_groups — what a FineWeb-style pipeline actually ships as
     its dedup verdict table.
 
-    Not SQL-expressible (the CC fixpoint); pinned in tests against the
-    driver-side union-find oracle over the (oracle-verified) pair list.
+    Oracle: the CC fixpoint is mirrored in DuckDB as a recursive
+    min-label CTE over the verified pair list
+    (oracles.near_dup_text_clusters_sql) — value-exact in the driver
+    gate — and additionally pinned against the driver-side union-find in
+    tests.
 
     Scale shape: pair volume is bounded by the LSH bucket caps and the CC
     edge frame is orders of magnitude below corpus size. The numeric-min

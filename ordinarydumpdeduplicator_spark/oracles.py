@@ -149,6 +149,54 @@ def near_dup_text_pairs_sql(
     """
 
 
+def near_dup_text_clusters_sql(
+    jaccard_threshold: float = 0.5, lcs_ratio: float = 0.6
+) -> str:
+    """operators/text_dedup.near_dup_text_clusters: the verified pair list
+    (near_dup_text_pairs_sql above) closed transitively via a recursive
+    min-label CTE — the SQL mirror of the engine's connected-components
+    fixpoint. `reach` enumerates, per node, every label reachable through
+    the undirected edge set (UNION dedupes, so the recursion terminates at
+    the transitive closure); min(label) per node is then exactly the
+    numeric-min component head the Spark operator assigns. Singletons and
+    NULL-text docs cluster to themselves."""
+    pairs_sql = near_dup_text_pairs_sql(jaccard_threshold, lcs_ratio)
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+      SELECT doc_id_a::BIGINT AS a, doc_id_b::BIGINT AS b
+      FROM ({pairs_sql})
+    ),
+    und AS (
+      SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM und),
+    reach AS (
+      SELECT id, id AS lbl FROM nodes
+      UNION
+      SELECT u.b AS id, r.lbl FROM reach r JOIN und u ON u.a = r.id
+    ),
+    comp AS (
+      SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    ),
+    sizes AS (
+      SELECT cluster_id, count(*)::BIGINT AS n_members
+      FROM comp GROUP BY cluster_id
+    ),
+    clustered AS (
+      SELECT doc_id, comp.cluster_id, sizes.n_members
+      FROM comp JOIN sizes USING (cluster_id)
+    ),
+    singles AS (
+      SELECT d.doc_id, d.doc_id AS cluster_id, 1::BIGINT AS n_members
+      FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM clustered)
+    )
+    SELECT doc_id, cluster_id, n_members,
+           doc_id = cluster_id AS is_canonical
+    FROM (SELECT * FROM clustered UNION ALL SELECT * FROM singles)
+    """
+
+
 # ------------------------------------------------------------------ simhash
 
 

@@ -84,6 +84,14 @@ def test_near_dup_text_pairs_oracle(spark, subset_dir, duck):
     _assert_parity(df, duck, o.near_dup_text_pairs_sql())
 
 
+def test_near_dup_text_clusters_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+    from ordinarydumpdeduplicator_spark import oracles as o
+
+    df = e.queries()["near_dup_text_clusters"](spark, subset_dir)
+    _assert_parity(df, duck, o.near_dup_text_clusters_sql())
+
+
 def test_simhash_near_pairs_oracle(spark, subset_dir, duck):
     import __spark_entry__ as e
     from ordinarydumpdeduplicator_spark import oracles as o
