@@ -550,6 +550,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return near_dup_text_clusters(_docs(spark, sf))
 
+    # The testdata documents have fuzzy near-dups but no raw-exact copies,
+    # case/whitespace variants or empty rows — plant them in-plan so the
+    # driver gate exercises every cascade tier. Mirrored exactly by
+    # oracles._AUG_DOCS_CTE (which shadows the DuckDB documents view).
+    def _aug_docs(spark, sf):
+        d = _docs(spark, sf).select("doc_id", "text")
+        exact_copies = d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        case_variants = d.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.upper("text").alias("text"),
+        )
+        ws_variants = d.filter(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.replace(F.col("text"), F.lit(" "), F.lit("  ")).alias("text"),
+        )
+        empties = spark.createDataFrame(
+            [(9000000, None), (9000001, ""), (9000002, "   ")],
+            "doc_id long, text string",
+        )
+        return (
+            d.unionByName(exact_copies)
+            .unionByName(case_variants)
+            .unionByName(ws_variants)
+            .unionByName(empties)
+        )
+
+    def q_dedup_tiers(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.tiers import dedup_tiers
+
+        return dedup_tiers(_aug_docs(spark, sf))
+
+    def q_dedup_tier_stats(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.tiers import (
+            dedup_tier_stats,
+        )
+
+        return dedup_tier_stats(_aug_docs(spark, sf))
+
     def q_user_sessions(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.states import sessionize
 
@@ -603,6 +643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_rollup": q_source_quality_rollup,
         "dup_size_histogram": q_dup_size_histogram,
         "near_dup_text_clusters": q_near_dup_text_clusters,
+        "dedup_tiers": q_dedup_tiers,
+        "dedup_tier_stats": q_dedup_tier_stats,
         "user_sessions": q_user_sessions,
         "line_dup_stats": q_line_dup_stats,
         "line_dedup_clean": q_line_dedup_clean,
@@ -1166,6 +1208,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates": osql.minhash_candidates_sql(),
         "near_dup_text_pairs": osql.near_dup_text_pairs_sql(),
         "near_dup_text_clusters": osql.near_dup_text_clusters_sql(),
+        "dedup_tiers": osql.dedup_tiers_sql(augmented=True),
+        "dedup_tier_stats": osql.dedup_tier_stats_sql(augmented=True),
         "simhash_near_pairs": osql.simhash_near_pairs_sql(),
         "winnowing_fingerprints": osql.winnowing_fingerprints_sql(),
         "embedding_near_pairs_lsh": osql.embedding_near_pairs_lsh_sql(

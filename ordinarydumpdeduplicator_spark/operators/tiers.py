@@ -1,0 +1,133 @@
+"""Tiered dedup cascade — the graft's namesake operator.
+
+The reference runs a single dedup tier: group files by content hash and
+report duplicate groups (DataControllerSimple.cs:252-301). A training-data
+pipeline at 100 TB runs a CASCADE of tiers ordered by cost and strictness,
+and needs to know WHICH tier caught each duplicate (tier attribution drives
+both the removal policy and the per-tier quality accounting):
+
+    empty       no content (the reference's Empty/Broken sentinel rows,
+                OrdinaryDumpDeduplicator.cs:117-122, generalized to text)
+    exact       byte-identical text          (sha256 of the raw text)
+    normalized  identical after lower+whitespace-collapse (the reference's
+                hash-of-canonical-form idea, F3/F4)
+    near        same verified fuzzy cluster  (MinHash->LSH->verify->CC,
+                operators/text_dedup.near_dup_text_clusters)
+    unique      none of the above
+
+Attribution is PRECEDENCE over three independently-computed groupings, not
+a sequential re-run on survivors: each tier's keeper is the numeric-min
+doc id of that tier's group, and a document's tier is the first tier whose
+keeper differs from itself. This keeps the semantics deterministic and
+oracle-checkable (no dependence on which survivors a previous tier left),
+while the cheap set-containment facts (raw-equal => normalized-equal =>
+shingle-identical) make the cascade behave exactly like the sequential
+version on non-pathological data.
+
+Scale shape: two hash-aggregates + equi-joins on 64-hex sha keys (near
+-unique — skew-free by construction; identical content collapses in the
+map-side partial min), one reuse of the LSH cluster assignment (itself
+bucket-capped and skew-guarded), and a final equi-join on doc_id. No
+windows, no sorts on content keys — the same plan discipline as
+exact_text_groups (tests/test_plans.py pins the no-sort invariant there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text_dedup import near_dup_text_clusters, normalized_text
+
+TIERS = ["empty", "exact", "normalized", "near", "unique"]
+
+
+def dedup_tiers(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """One row per document: (doc_id, tier, keeper_id).
+
+    ``keeper_id`` is the numeric-min member of the group that caught the
+    document at its tier (itself for 'empty' and 'unique'). Filtering to
+    ``doc_id == keeper_id`` yields the deduplicated corpus; grouping by
+    ``tier`` yields the per-tier removal accounting (dedup_tier_stats)."""
+    is_empty = F.col("text").isNull() | (F.trim(F.col("text")) == "")
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+    ).select(
+        "doc_id",
+        is_empty.alias("is_empty"),
+        F.when(~is_empty, F.sha2(F.col("text"), 256)).alias("raw_sha"),
+        F.when(~is_empty, F.sha2(normalized_text(F.col("text")), 256)).alias(
+            "norm_sha"
+        ),
+    )
+    exact_k = (
+        keyed.filter(~F.col("is_empty"))
+        .groupBy("raw_sha")
+        .agg(F.min("doc_id").alias("exact_keeper"))
+    )
+    norm_k = (
+        keyed.filter(~F.col("is_empty"))
+        .groupBy("norm_sha")
+        .agg(F.min("doc_id").alias("norm_keeper"))
+    )
+    clusters = near_dup_text_clusters(
+        docs, id_col=id_col, text_col=text_col,
+        jaccard_threshold=jaccard_threshold,
+    ).select("doc_id", "cluster_id")
+    joined = (
+        keyed.join(exact_k.hint("shuffle_hash"), "raw_sha", "left")
+        .join(norm_k.hint("shuffle_hash"), "norm_sha", "left")
+        .join(clusters, "doc_id", "left")
+    )
+    tier = (
+        F.when(F.col("is_empty"), F.lit("empty"))
+        .when(F.col("doc_id") != F.col("exact_keeper"), F.lit("exact"))
+        .when(F.col("doc_id") != F.col("norm_keeper"), F.lit("normalized"))
+        .when(F.col("doc_id") != F.col("cluster_id"), F.lit("near"))
+        .otherwise(F.lit("unique"))
+    )
+    keeper = (
+        F.when(F.col("is_empty"), F.col("doc_id"))
+        .when(F.col("doc_id") != F.col("exact_keeper"), F.col("exact_keeper"))
+        .when(F.col("doc_id") != F.col("norm_keeper"), F.col("norm_keeper"))
+        .when(F.col("doc_id") != F.col("cluster_id"), F.col("cluster_id"))
+        .otherwise(F.col("doc_id"))
+    )
+    return joined.select(
+        "doc_id", tier.alias("tier"), keeper.alias("keeper_id")
+    )
+
+
+def dedup_tier_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-tier removal accounting: (tier, n_docs, n_chars) — how many
+    documents (and how much text) each tier of the cascade accounts for.
+    The 100 TB consumer's dashboard row: 'exact removed X%, near removed
+    Y% on top'. n_chars sums raw text length (NULL text contributes
+    nothing, matching SQL sum semantics)."""
+    tiers = dedup_tiers(
+        docs, id_col=id_col, text_col=text_col,
+        jaccard_threshold=jaccard_threshold,
+    )
+    lens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).cast("long").alias("_len"),
+    )
+    return (
+        tiers.join(lens, "doc_id")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_len").alias("n_chars"),
+        )
+    )

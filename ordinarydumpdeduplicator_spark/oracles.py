@@ -197,6 +197,114 @@ def near_dup_text_clusters_sql(
     """
 
 
+def _norm_text(col: str = "text") -> str:
+    """operators/text_dedup.normalized_text mirrored in RE2 (value-equal on
+    whitespace-separated corpora; pinned by the exact_text_groups oracle)."""
+    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+# Driver-corpus augmentation for the tier cascade: the testdata documents
+# table has fuzzy near-dups but no raw-exact copies, no case/whitespace
+# variants and no empty rows, so the cascade's first three tiers would go
+# unexercised by the driver gate. Both sides plant them deterministically:
+# __spark_entry__._aug_docs in the Spark plan, and this CTE (which SHADOWS
+# the registered `documents` view — base reads disambiguate via `main.`)
+# in the oracle.
+_AUG_DOCS_CTE = """
+      SELECT doc_id, text FROM main.documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM main.documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, upper(text) AS text
+      FROM main.documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, replace(text, ' ', '  ') AS text
+      FROM main.documents WHERE doc_id % 13 = 0
+      UNION ALL
+      SELECT * FROM (VALUES (9000000::BIGINT, NULL::VARCHAR),
+                            (9000001::BIGINT, ''),
+                            (9000002::BIGINT, '   ')) v(doc_id, text)
+"""
+
+
+def dedup_tiers_sql(
+    jaccard_threshold: float = 0.5,
+    lcs_ratio: float = 0.6,
+    augmented: bool = False,
+) -> str:
+    """operators/tiers.dedup_tiers: precedence attribution over the three
+    independent groupings — raw-text equality, normalized-text equality,
+    and the fuzzy cluster assignment (near_dup_text_clusters_sql above).
+    Grouping by the text VALUE here is value-equivalent to the engine's
+    grouping by sha256(text) (equal values <=> equal hashes). With
+    ``augmented`` the corpus is the planted-variant superset (_AUG_DOCS_CTE)
+    — every unqualified `documents` reference below, including those inside
+    the recursive clusters subquery, then resolves to the shadowing CTE."""
+    clusters_sql = near_dup_text_clusters_sql(jaccard_threshold, lcs_ratio)
+    aug = (
+        f"documents AS MATERIALIZED ({_AUG_DOCS_CTE}),\n    "
+        if augmented
+        else ""
+    )
+    return f"""
+    WITH {aug}base AS (
+      SELECT doc_id, text,
+             (text IS NULL OR trim(text) = '') AS is_empty
+      FROM documents
+    ),
+    ex AS (
+      SELECT text, min(doc_id) AS exact_keeper
+      FROM base WHERE NOT is_empty GROUP BY text
+    ),
+    nm AS (
+      SELECT {_norm_text()} AS ntext, min(doc_id) AS norm_keeper
+      FROM base WHERE NOT is_empty GROUP BY 1
+    ),
+    cl AS (
+      SELECT doc_id, cluster_id FROM ({clusters_sql})
+    )
+    SELECT b.doc_id,
+           CASE WHEN b.is_empty THEN 'empty'
+                WHEN b.doc_id <> ex.exact_keeper THEN 'exact'
+                WHEN b.doc_id <> nm.norm_keeper THEN 'normalized'
+                WHEN b.doc_id <> cl.cluster_id THEN 'near'
+                ELSE 'unique' END AS tier,
+           CASE WHEN b.is_empty THEN b.doc_id
+                WHEN b.doc_id <> ex.exact_keeper THEN ex.exact_keeper
+                WHEN b.doc_id <> nm.norm_keeper THEN nm.norm_keeper
+                WHEN b.doc_id <> cl.cluster_id THEN cl.cluster_id
+                ELSE b.doc_id END AS keeper_id
+    FROM base b
+    LEFT JOIN ex ON NOT b.is_empty AND b.text = ex.text
+    LEFT JOIN nm ON NOT b.is_empty AND {_norm_text('b.text')} = nm.ntext
+    LEFT JOIN cl ON b.doc_id = cl.doc_id
+    """
+
+
+def dedup_tier_stats_sql(
+    jaccard_threshold: float = 0.5,
+    lcs_ratio: float = 0.6,
+    augmented: bool = False,
+) -> str:
+    """operators/tiers.dedup_tier_stats: per-tier doc/char accounting.
+    When augmented, the shadow CTE sits in the OUTER scope so both the
+    nested tiers query and the length join see the same planted corpus."""
+    aug = (
+        f"documents AS MATERIALIZED ({_AUG_DOCS_CTE}),\n    "
+        if augmented
+        else ""
+    )
+    tiers = dedup_tiers_sql(jaccard_threshold, lcs_ratio, augmented=False)
+    return f"""
+    WITH {aug}t AS MATERIALIZED ({tiers})
+    SELECT tier, count(*)::BIGINT AS n_docs,
+           sum(length(d.text))::BIGINT AS n_chars
+    FROM t JOIN documents d USING (doc_id)
+    GROUP BY tier
+    """
+
+
 # ------------------------------------------------------------------ simhash
 
 

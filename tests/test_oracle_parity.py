@@ -92,6 +92,26 @@ def test_near_dup_text_clusters_oracle(spark, subset_dir, duck):
     _assert_parity(df, duck, o.near_dup_text_clusters_sql())
 
 
+def test_dedup_tiers_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+    from ordinarydumpdeduplicator_spark import oracles as o
+
+    df = e.queries()["dedup_tiers"](spark, subset_dir)
+    _assert_parity(df, duck, o.dedup_tiers_sql(augmented=True))
+    tiers = {r[0] for r in duck.sql(
+        "SELECT DISTINCT tier FROM (" + o.dedup_tiers_sql(augmented=True) + ")"
+    ).fetchall()}
+    assert tiers == {"empty", "exact", "normalized", "near", "unique"}, tiers
+
+
+def test_dedup_tier_stats_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+    from ordinarydumpdeduplicator_spark import oracles as o
+
+    df = e.queries()["dedup_tier_stats"](spark, subset_dir)
+    _assert_parity(df, duck, o.dedup_tier_stats_sql(augmented=True))
+
+
 def test_simhash_near_pairs_oracle(spark, subset_dir, duck):
     import __spark_entry__ as e
     from ordinarydumpdeduplicator_spark import oracles as o

@@ -1,0 +1,91 @@
+"""Tiered dedup cascade (operators/tiers.py) — semantic unit tests.
+
+A hand-built corpus where every tier's verdict is known a priori:
+precedence, keeper selection, and the stats rollup are asserted exactly.
+The oracle-parity checks (Spark == DuckDB on the driver augmentation) live
+in tests/test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ordinarydumpdeduplicator_spark.operators.tiers import (
+    dedup_tier_stats,
+    dedup_tiers,
+)
+
+# near-pair texts: >=3 tokens, high shingle overlap (3-gram Jaccard >= 0.5)
+_BASE = "alpha beta gamma delta epsilon zeta eta theta"
+_NEAR = "alpha beta gamma delta epsilon zeta eta iota"
+
+_DOCS = [
+    (1, _BASE),                       # keeper of everything below
+    (2, _BASE),                       # raw-identical        -> exact
+    (3, _BASE.upper()),               # case variant         -> normalized
+    (4, _BASE.replace(" ", "  ")),    # whitespace variant   -> normalized
+    (5, _NEAR),                       # fuzzy paraphrase     -> near (of 1)
+    (6, "completely different words about unrelated things here"),  # unique
+    (7, None),                        # empty
+    (8, ""),                          # empty
+    (9, "   "),                       # empty (whitespace only)
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(_DOCS, "doc_id long, text string")
+
+
+def test_tier_attribution(spark, docs):
+    rows = {r.doc_id: (r.tier, r.keeper_id) for r in dedup_tiers(docs).collect()}
+    assert rows == {
+        1: ("unique", 1),
+        2: ("exact", 1),
+        3: ("normalized", 1),
+        4: ("normalized", 1),
+        5: ("near", 1),
+        6: ("unique", 6),
+        7: ("empty", 7),
+        8: ("empty", 8),
+        9: ("empty", 9),
+    }
+
+
+def test_tier_stats(spark, docs):
+    rows = {r.tier: (r.n_docs, r.n_chars) for r in dedup_tier_stats(docs).collect()}
+    base_len = len(_BASE)
+    assert rows["exact"] == (1, base_len)
+    assert rows["normalized"] == (2, base_len + len(_BASE.replace(" ", "  ")))
+    assert rows["near"] == (1, len(_NEAR))
+    assert rows["unique"][0] == 2
+    # NULL text contributes no chars; ''/whitespace rows contribute length
+    assert rows["empty"] == (3, 3)
+
+
+def test_every_doc_exactly_once(spark, docs):
+    out = dedup_tiers(docs)
+    assert out.count() == len(_DOCS)
+    assert out.select("doc_id").distinct().count() == len(_DOCS)
+
+
+def test_keeper_is_never_above_doc(spark, docs):
+    """Keepers are numeric-min group members, so keeper_id <= doc_id."""
+    import pyspark.sql.functions as F
+
+    assert dedup_tiers(docs).filter(F.col("keeper_id") > F.col("doc_id")).count() == 0
+
+
+def test_no_sort_on_content_keys(spark, docs):
+    """Same plan discipline as exact_text_groups: the sha groupings must be
+    hash-aggregate + join, never a sort on the 64-hex key."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dedup_tiers(docs).explain("simple")
+    plan = buf.getvalue()
+    for line in plan.splitlines():
+        if "Sort " in line and ("raw_sha" in line or "norm_sha" in line):
+            raise AssertionError(f"sort on content key: {line}")
