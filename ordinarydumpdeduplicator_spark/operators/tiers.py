@@ -104,6 +104,52 @@ def dedup_tiers(
     )
 
 
+# Image-pipeline edge kinds in precedence order (strongest identity first):
+# byte-identical file, identical decoded pixels, identical caption text,
+# identical pHash sketch, verified pixel near-dup, verified caption
+# near-dup. plans/pipeline.edges emits every edge tagged with its kind.
+IMAGE_TIER_PRECEDENCE = [
+    "exact",
+    "pixel_exact",
+    "caption_exact",
+    "phash_exact",
+    "image_near",
+    "caption_near",
+]
+
+
+def image_tier_report(clusters: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-image tier attribution for the image near-dup pipeline:
+    (image_id, cluster_id, tier) where tier is the strongest-precedence
+    edge kind incident to the image — which detector tier caught it.
+    Dup-group heads get 'canonical', singletons 'unique'.
+
+    Scale shape: the edge frame is orders of magnitude smaller than the
+    corpus (bounded by dup volume + LSH bucket caps); exploding both
+    endpoints doubles it, the min-precedence aggregate partial-combines
+    map-side, and the corpus-side join is a left join on image_id that
+    AQE can broadcast whenever the dup set is small."""
+    prec = F.array(*[F.lit(k) for k in IMAGE_TIER_PRECEDENCE])
+    idx = F.array_position(prec, F.col("kind"))
+    touched = (
+        edges.select(F.col("src").alias("image_id"), idx.alias("p"))
+        .unionByName(edges.select(F.col("dst").alias("image_id"), idx.alias("p")))
+        .groupBy("image_id")
+        .agg(F.min("p").alias("p"))
+        .select(
+            "image_id", F.element_at(prec, F.col("p").cast("int")).alias("_tier")
+        )
+    )
+    return clusters.join(touched, "image_id", "left").select(
+        "image_id",
+        "cluster_id",
+        F.when(~F.col("is_dup"), F.lit("unique"))
+        .when(F.col("image_id") == F.col("cluster_id"), F.lit("canonical"))
+        .otherwise(F.coalesce("_tier", F.lit("unique")))
+        .alias("tier"),
+    )
+
+
 def dedup_tier_stats(
     docs: DataFrame,
     id_col: str = "doc_id",

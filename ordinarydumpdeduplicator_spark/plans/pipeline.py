@@ -297,6 +297,13 @@ class NearDupPipeline:
         assign = self.components(edges)
         clusters = self.clusters(feats, assign)
         self.write_metrics()
+        from ..operators.tiers import image_tier_report
+
         return dict(
-            features=feats, edges=edges, assignments=assign, clusters=clusters
+            features=feats,
+            edges=edges,
+            assignments=assign,
+            clusters=clusters,
+            # lazy — only computed if the caller pulls it
+            tier_report=image_tier_report(clusters, edges),
         )

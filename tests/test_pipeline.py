@@ -77,6 +77,44 @@ def test_cluster_id_is_min_member(pipeline_result):
     assert bad == 0
 
 
+def test_image_tier_report(small_corpus, pipeline_result):
+    """Per-image tier attribution: every image labeled once; dup groups
+    have exactly one canonical head; byte-identical planted duplicates
+    attribute to the strongest tier ('exact'); singletons are 'unique'."""
+    from ordinarydumpdeduplicator_spark.operators.tiers import (
+        IMAGE_TIER_PRECEDENCE,
+        image_tier_report,
+    )
+
+    rep = image_tier_report(
+        pipeline_result["clusters"], pipeline_result["edges"]
+    )
+    rows = rep.collect()
+    assert len(rows) == pipeline_result["clusters"].count()
+    allowed = set(IMAGE_TIER_PRECEDENCE) | {"canonical", "unique"}
+    assert {r.tier for r in rows} <= allowed
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        heads = [m for m in members if m.tier == "canonical"]
+        if len(members) > 1:
+            assert len(heads) == 1, f"cluster {cid}: {len(heads)} heads"
+        else:
+            assert members[0].tier == "unique"
+    # planted exact groups: every non-head member caught at the exact tier
+    pdf, golden = small_corpus
+    tier_of = {r.image_id: r.tier for r in rows}
+    head_of = {r.image_id: r.cluster_id for r in rows}
+    exact_pairs = golden[golden.kind == "exact"]
+    for r in exact_pairs.itertuples():
+        for side in (r.image_id_a, r.image_id_b):
+            if side in tier_of and head_of.get(side) != side:
+                assert tier_of[side] in ("exact", "pixel_exact"), (
+                    side, tier_of[side]
+                )
+
+
 def test_resume_skips_completed_stages(spark, tiny_images, tmp_path):
     cfg = PipelineConfig(checkpoint_dir=str(tmp_path), run_id="r1")
     pipe = NearDupPipeline(spark, cfg)
