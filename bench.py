@@ -143,6 +143,8 @@ def main() -> None:
         "line_dedup_clean",
         "pii_scrub",
         "tfidf_keywords",
+        # the graft's namesake: full tier cascade + per-tier accounting
+        "dedup_tier_stats",
     ]
     for name in headline:
         fn = qs[name]
