@@ -554,21 +554,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # case/whitespace variants or empty rows — plant them in-plan so the
     # driver gate exercises every cascade tier. Mirrored exactly by
     # oracles._AUG_DOCS_CTE (which shadows the DuckDB documents view).
+    # Planted ids are NEGATIVE (-(4*doc_id + family), empties on residue
+    # 0), so they can never collide with real non-negative doc_ids at any
+    # scale, nor with each other. The numeric-min keeper is then often the
+    # planted copy — deterministic and identical on both sides.
     def _aug_docs(spark, sf):
         d = _docs(spark, sf).select("doc_id", "text")
         exact_copies = d.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            (-(F.col("doc_id") * 4 + 1)).alias("doc_id"), "text"
         )
         case_variants = d.filter(F.col("doc_id") % 11 == 0).select(
-            (F.col("doc_id") + 2000000).alias("doc_id"),
+            (-(F.col("doc_id") * 4 + 2)).alias("doc_id"),
             F.upper("text").alias("text"),
         )
         ws_variants = d.filter(F.col("doc_id") % 13 == 0).select(
-            (F.col("doc_id") + 3000000).alias("doc_id"),
+            (-(F.col("doc_id") * 4 + 3)).alias("doc_id"),
             F.replace(F.col("text"), F.lit(" "), F.lit("  ")).alias("text"),
         )
         empties = spark.createDataFrame(
-            [(9000000, None), (9000001, ""), (9000002, "   ")],
+            [(-4, None), (-8, ""), (-12, "   ")],
             "doc_id long, text string",
         )
         return (

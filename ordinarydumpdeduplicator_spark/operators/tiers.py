@@ -51,15 +51,33 @@ def dedup_tiers(
     """One row per document: (doc_id, tier, keeper_id).
 
     ``keeper_id`` is the numeric-min member of the group that caught the
-    document at its tier (itself for 'empty' and 'unique'). Filtering to
-    ``doc_id == keeper_id`` yields the deduplicated corpus; grouping by
-    ``tier`` yields the per-tier removal accounting (dedup_tier_stats)."""
+    document at its tier (itself for 'empty' and 'unique'). The
+    deduplicated corpus is ``doc_id == keeper_id AND tier != 'empty'`` —
+    empty rows keep themselves as keeper (there is no content to pick a
+    canonical copy of), so the removal policy drops the whole tier, not
+    just non-keepers. Grouping by ``tier`` yields the per-tier removal
+    accounting (dedup_tier_stats)."""
+    return _tiers_frame(docs, id_col, text_col, jaccard_threshold).select(
+        "doc_id", "tier", "keeper_id"
+    )
+
+
+def _tiers_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, tier, keeper_id, _len) — _len rides along from the first
+    projection so dedup_tier_stats doesn't need a third corpus scan and a
+    corpus-wide join to recover text lengths."""
     is_empty = F.col("text").isNull() | (F.trim(F.col("text")) == "")
     keyed = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
     ).select(
         "doc_id",
+        F.length("text").cast("long").alias("_len"),
         is_empty.alias("is_empty"),
         F.when(~is_empty, F.sha2(F.col("text"), 256)).alias("raw_sha"),
         F.when(~is_empty, F.sha2(normalized_text(F.col("text")), 256)).alias(
@@ -100,7 +118,7 @@ def dedup_tiers(
         .otherwise(F.col("doc_id"))
     )
     return joined.select(
-        "doc_id", tier.alias("tier"), keeper.alias("keeper_id")
+        "doc_id", tier.alias("tier"), keeper.alias("keeper_id"), "_len"
     )
 
 
@@ -129,15 +147,22 @@ def image_tier_report(clusters: DataFrame, edges: DataFrame) -> DataFrame:
     endpoints doubles it, the min-precedence aggregate partial-combines
     map-side, and the corpus-side join is a left join on image_id that
     AQE can broadcast whenever the dup set is small."""
-    prec = F.array(*[F.lit(k) for k in IMAGE_TIER_PRECEDENCE])
-    idx = F.array_position(prec, F.col("kind"))
+    # unknown kinds (a future edge family, or an edges checkpoint from a
+    # newer run) rank BELOW every known tier as 'other' — array_position
+    # returns 0 for them and element_at(_, 0) would throw
+    labels = F.array(*[F.lit(k) for k in IMAGE_TIER_PRECEDENCE + ["other"]])
+    pos = F.array_position(labels, F.col("kind"))
+    idx = F.when(pos > 0, pos).otherwise(
+        F.lit(len(IMAGE_TIER_PRECEDENCE) + 1)
+    )
     touched = (
         edges.select(F.col("src").alias("image_id"), idx.alias("p"))
         .unionByName(edges.select(F.col("dst").alias("image_id"), idx.alias("p")))
         .groupBy("image_id")
         .agg(F.min("p").alias("p"))
         .select(
-            "image_id", F.element_at(prec, F.col("p").cast("int")).alias("_tier")
+            "image_id",
+            F.element_at(labels, F.col("p").cast("int")).alias("_tier"),
         )
     )
     return clusters.join(touched, "image_id", "left").select(
@@ -161,19 +186,11 @@ def dedup_tier_stats(
     The 100 TB consumer's dashboard row: 'exact removed X%, near removed
     Y% on top'. n_chars sums raw text length (NULL text contributes
     nothing, matching SQL sum semantics)."""
-    tiers = dedup_tiers(
+    tiers = _tiers_frame(
         docs, id_col=id_col, text_col=text_col,
         jaccard_threshold=jaccard_threshold,
     )
-    lens = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.length(F.col(text_col)).cast("long").alias("_len"),
-    )
-    return (
-        tiers.join(lens, "doc_id")
-        .groupBy("tier")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_len").alias("n_chars"),
-        )
+    return tiers.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_len").alias("n_chars"),
     )

@@ -210,21 +210,23 @@ def _norm_text(col: str = "text") -> str:
 # __spark_entry__._aug_docs in the Spark plan, and this CTE (which SHADOWS
 # the registered `documents` view — base reads disambiguate via `main.`)
 # in the oracle.
+# Planted ids are NEGATIVE (-(4*doc_id + family), empties on residue 0):
+# collision-free against real non-negative doc_ids at any scale.
 _AUG_DOCS_CTE = """
       SELECT doc_id, text FROM main.documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text
+      SELECT -(doc_id * 4 + 1) AS doc_id, text
       FROM main.documents WHERE doc_id % 7 = 0
       UNION ALL
-      SELECT doc_id + 2000000 AS doc_id, upper(text) AS text
+      SELECT -(doc_id * 4 + 2) AS doc_id, upper(text) AS text
       FROM main.documents WHERE doc_id % 11 = 0
       UNION ALL
-      SELECT doc_id + 3000000 AS doc_id, replace(text, ' ', '  ') AS text
+      SELECT -(doc_id * 4 + 3) AS doc_id, replace(text, ' ', '  ') AS text
       FROM main.documents WHERE doc_id % 13 = 0
       UNION ALL
-      SELECT * FROM (VALUES (9000000::BIGINT, NULL::VARCHAR),
-                            (9000001::BIGINT, ''),
-                            (9000002::BIGINT, '   ')) v(doc_id, text)
+      SELECT * FROM (VALUES (-4::BIGINT, NULL::VARCHAR),
+                            (-8::BIGINT, ''),
+                            (-12::BIGINT, '   ')) v(doc_id, text)
 """
 
 

@@ -83,13 +83,10 @@ def test_image_tier_report(small_corpus, pipeline_result):
     attribute to the strongest tier ('exact'); singletons are 'unique'."""
     from ordinarydumpdeduplicator_spark.operators.tiers import (
         IMAGE_TIER_PRECEDENCE,
-        image_tier_report,
     )
 
-    rep = image_tier_report(
-        pipeline_result["clusters"], pipeline_result["edges"]
-    )
-    rows = rep.collect()
+    # the shipped pipeline output, not a recomputation of the operator
+    rows = pipeline_result["tier_report"].collect()
     assert len(rows) == pipeline_result["clusters"].count()
     allowed = set(IMAGE_TIER_PRECEDENCE) | {"canonical", "unique"}
     assert {r.tier for r in rows} <= allowed

@@ -76,6 +76,22 @@ def test_keeper_is_never_above_doc(spark, docs):
     assert dedup_tiers(docs).filter(F.col("keeper_id") > F.col("doc_id")).count() == 0
 
 
+def test_image_tier_report_unknown_kind(spark):
+    """An edge kind the precedence list doesn't know must rank below every
+    known tier as 'other', not crash element_at with index 0."""
+    from ordinarydumpdeduplicator_spark.operators.tiers import image_tier_report
+
+    clusters = spark.createDataFrame(
+        [("a", "a", True), ("b", "a", True)],
+        "image_id string, cluster_id string, is_dup boolean",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", "bogus_kind")], "src string, dst string, kind string"
+    )
+    rows = {r.image_id: r.tier for r in image_tier_report(clusters, edges).collect()}
+    assert rows == {"a": "canonical", "b": "other"}
+
+
 def test_no_sort_on_content_keys(spark, docs):
     """Same plan discipline as exact_text_groups: the sha groupings must be
     hash-aggregate + join, never a sort on the 64-hex key."""
