@@ -47,6 +47,7 @@ def dedup_tiers(
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """One row per document: (doc_id, tier, keeper_id).
 
@@ -56,10 +57,16 @@ def dedup_tiers(
     empty rows keep themselves as keeper (there is no content to pick a
     canonical copy of), so the removal policy drops the whole tier, not
     just non-keepers. Grouping by ``tier`` yields the per-tier removal
-    accounting (dedup_tier_stats)."""
-    return _tiers_frame(docs, id_col, text_col, jaccard_threshold).select(
-        "doc_id", "tier", "keeper_id"
-    )
+    accounting (dedup_tier_stats).
+
+    ``clusters``: optionally a precomputed (doc_id, cluster_id) fuzzy
+    assignment (near_dup_text_clusters output, or a checkpointed stage
+    table). At 100 TB the LSH->verify->CC chain is by far the most
+    expensive input and is typically already materialized by the dedup
+    pipeline — pass it in rather than recomputing it per report."""
+    return _tiers_frame(
+        docs, id_col, text_col, jaccard_threshold, clusters
+    ).select("doc_id", "tier", "keeper_id")
 
 
 def _tiers_frame(
@@ -67,6 +74,7 @@ def _tiers_frame(
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, tier, keeper_id, _len) — _len rides along from the first
     projection so dedup_tier_stats doesn't need a third corpus scan and a
@@ -94,10 +102,12 @@ def _tiers_frame(
         .groupBy("norm_sha")
         .agg(F.min("doc_id").alias("norm_keeper"))
     )
-    clusters = near_dup_text_clusters(
-        docs, id_col=id_col, text_col=text_col,
-        jaccard_threshold=jaccard_threshold,
-    ).select("doc_id", "cluster_id")
+    if clusters is None:
+        clusters = near_dup_text_clusters(
+            docs, id_col=id_col, text_col=text_col,
+            jaccard_threshold=jaccard_threshold,
+        )
+    clusters = clusters.select("doc_id", "cluster_id")
     joined = (
         keyed.join(exact_k.hint("shuffle_hash"), "raw_sha", "left")
         .join(norm_k.hint("shuffle_hash"), "norm_sha", "left")
@@ -180,6 +190,7 @@ def dedup_tier_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Per-tier removal accounting: (tier, n_docs, n_chars) — how many
     documents (and how much text) each tier of the cascade accounts for.
@@ -188,7 +199,7 @@ def dedup_tier_stats(
     nothing, matching SQL sum semantics)."""
     tiers = _tiers_frame(
         docs, id_col=id_col, text_col=text_col,
-        jaccard_threshold=jaccard_threshold,
+        jaccard_threshold=jaccard_threshold, clusters=clusters,
     )
     return tiers.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -76,6 +76,19 @@ def test_keeper_is_never_above_doc(spark, docs):
     assert dedup_tiers(docs).filter(F.col("keeper_id") > F.col("doc_id")).count() == 0
 
 
+def test_precomputed_clusters_reuse(spark, docs):
+    """Passing a materialized fuzzy assignment (the 100 TB reuse path)
+    yields identical verdicts to recomputing the LSH chain in-plan."""
+    from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+        near_dup_text_clusters,
+    )
+
+    pre = near_dup_text_clusters(docs).select("doc_id", "cluster_id")
+    a = sorted(map(tuple, dedup_tiers(docs).collect()))
+    b = sorted(map(tuple, dedup_tiers(docs, clusters=pre).collect()))
+    assert a == b
+
+
 def test_image_tier_report_unknown_kind(spark):
     """An edge kind the precedence list doesn't know must rank below every
     known tier as 'other', not crash element_at with index 0."""

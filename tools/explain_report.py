@@ -50,6 +50,8 @@ HEADLINE = [
     "line_dup_stats",
     "line_dedup_clean",
     "pii_scrub",
+    "dedup_tiers",
+    "dedup_tier_stats",
 ]
 
 
