@@ -89,6 +89,88 @@ def test_precomputed_clusters_reuse(spark, docs):
     assert a == b
 
 
+_WORDS = ["red", "blue", "cat", "dog", "sun"]
+
+
+def _norm_py(t: str) -> str:
+    import re as _re
+
+    return _re.sub(r"\s+", " ", t.lower()).strip()
+
+
+@pytest.mark.slow
+def test_cascade_matches_python_model(spark):
+    """Property: against a pure-Python model of the precedence rules, with
+    an arbitrary injected fuzzy assignment (covering only some docs — the
+    operator must treat uncovered docs as singletons)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    text_st = st.one_of(
+        st.none(),
+        st.just(""),
+        st.just("  "),
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=4).map(
+            " ".join
+        ),
+        st.lists(st.sampled_from([w.upper() for w in _WORDS]), min_size=1,
+                 max_size=4).map("  ".join),
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=st.lists(text_st, min_size=1, max_size=12))
+    def run(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        # arbitrary-but-deterministic fake fuzzy clustering: group docs by
+        # normalized token count, numeric-min heads, covering only docs
+        # with >= 2 tokens
+        by_len: dict[int, list[int]] = {}
+        for i, t in rows:
+            if t and len(t.split()) >= 2:
+                by_len.setdefault(len(t.split()), []).append(i)
+        fake = {i: min(g) for g in by_len.values() for i in g}
+        # python model of the precedence cascade
+        def grp_min(key_of):
+            groups: dict[str, int] = {}
+            for i, t in rows:
+                if t is not None and t.strip() != "":
+                    k = key_of(t)
+                    groups[k] = min(groups.get(k, i), i)
+            return groups
+
+        ex = grp_min(lambda t: t)
+        nm = grp_min(_norm_py)
+        want = {}
+        for i, t in rows:
+            if t is None or t.strip() == "":
+                want[i] = ("empty", i)
+            elif i != ex[t]:
+                want[i] = ("exact", ex[t])
+            elif i != nm[_norm_py(t)]:
+                want[i] = ("normalized", nm[_norm_py(t)])
+            elif i in fake and i != fake[i]:
+                want[i] = ("near", fake[i])
+            else:
+                want[i] = ("unique", i)
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        clusters = spark.createDataFrame(
+            [(i, c) for i, c in fake.items()] or [(None, None)],
+            "doc_id long, cluster_id long",
+        ).filter("doc_id is not null")
+        got = {
+            r.doc_id: (r.tier, r.keeper_id)
+            for r in dedup_tiers(docs, clusters=clusters).collect()
+        }
+        assert got == want
+
+    run()
+
+
 def test_image_tier_report_unknown_kind(spark):
     """An edge kind the precedence list doesn't know must rank below every
     known tier as 'other', not crash element_at with index 0."""
