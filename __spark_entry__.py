@@ -594,6 +594,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return dedup_tier_stats(_aug_docs(spark, sf))
 
+    # embedding-side planted variants (mirrors oracles._AUG_EMBS_CTE):
+    # exact copies, x2-scaled copies (same direction -> 'near'), one
+    # empty vector; negative ids, collision-free at any scale.
+    def _aug_embs(spark, sf):
+        e = _tbl(spark, sf, "embeddings").select("vec_id", "embedding")
+        exact_copies = e.filter(F.col("vec_id") % 9 == 0).select(
+            (-(F.col("vec_id") * 4 + 1)).alias("vec_id"), "embedding"
+        )
+        scaled = e.filter(F.col("vec_id") % 5 == 0).select(
+            (-(F.col("vec_id") * 4 + 2)).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.lit(2.0).cast("float")).cast("float")
+            ).alias("embedding"),
+        )
+        empties = spark.createDataFrame(
+            [(-4, [])], "vec_id long, embedding array<float>"
+        )
+        return (
+            e.unionByName(exact_copies)
+            .unionByName(scaled)
+            .unionByName(empties)
+        )
+
+    def q_embedding_dedup_tiers(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.tiers import (
+            embedding_dedup_tiers,
+        )
+
+        return embedding_dedup_tiers(_aug_embs(spark, sf), dim=64)
+
     def q_user_sessions(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.states import sessionize
 
@@ -649,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_text_clusters": q_near_dup_text_clusters,
         "dedup_tiers": q_dedup_tiers,
         "dedup_tier_stats": q_dedup_tier_stats,
+        "embedding_dedup_tiers": q_embedding_dedup_tiers,
         "user_sessions": q_user_sessions,
         "line_dup_stats": q_line_dup_stats,
         "line_dedup_clean": q_line_dedup_clean,
@@ -1214,6 +1245,9 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_text_clusters": osql.near_dup_text_clusters_sql(),
         "dedup_tiers": osql.dedup_tiers_sql(augmented=True),
         "dedup_tier_stats": osql.dedup_tier_stats_sql(augmented=True),
+        "embedding_dedup_tiers": osql.embedding_dedup_tiers_sql(
+            dim=64, augmented=True
+        ),
         "simhash_near_pairs": osql.simhash_near_pairs_sql(),
         "winnowing_fingerprints": osql.winnowing_fingerprints_sql(),
         "embedding_near_pairs_lsh": osql.embedding_near_pairs_lsh_sql(

@@ -132,6 +132,75 @@ def _tiers_frame(
     )
 
 
+def embedding_dedup_tiers(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    bands: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The tier cascade on the embedding modality: (vec_id, tier,
+    keeper_id) with tiers empty -> exact -> near -> unique.
+
+    - exact: bit-identical vectors (grouped by the array value — at 100 TB
+      swap the 256-byte key for a sha over the raw buffer; the grouping is
+      value-equivalent either way)
+    - near:  verified hyperplane-LSH cosine pairs (>= threshold) closed
+      into components, numeric-min heads — the embedding twin of
+      near_dup_text_clusters
+    Same precedence-over-independent-groupings semantics as dedup_tiers;
+    empty/NULL vectors tier as 'empty' and never enter the sketch path
+    (an empty array cannot be sketched)."""
+    from .connected_components import connected_components
+    from .similarity import embedding_near_pairs_lsh
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    nonempty = base.filter(
+        F.col("vec").isNotNull() & (F.size("vec") > 0)
+    )
+    ex = nonempty.groupBy("vec").agg(F.min("vec_id").alias("exact_keeper"))
+    pairs = embedding_near_pairs_lsh(
+        nonempty, dim=dim, threshold=threshold, bands=bands,
+        id_col="vec_id", vec_col="vec",
+    )
+    assign = connected_components(
+        pairs.select(
+            F.col("vec_id_a").cast("string").alias("src"),
+            F.col("vec_id_b").cast("string").alias("dst"),
+        )
+    )
+    # string-min component heads -> numeric-min heads (negatives and
+    # multi-digit ids make lexicographic min wrong)
+    members = assign.select(
+        F.col("image_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").alias("component"),
+    )
+    heads = members.groupBy("component").agg(
+        F.min("vec_id").alias("cluster_id")
+    )
+    clusters = members.join(heads, "component").select("vec_id", "cluster_id")
+    is_empty = F.col("vec").isNull() | (F.size("vec") == 0)
+    joined = base.join(ex, "vec", "left").join(clusters, "vec_id", "left")
+    tier = (
+        F.when(is_empty, F.lit("empty"))
+        .when(F.col("vec_id") != F.col("exact_keeper"), F.lit("exact"))
+        .when(F.col("vec_id") != F.col("cluster_id"), F.lit("near"))
+        .otherwise(F.lit("unique"))
+    )
+    keeper = (
+        F.when(is_empty, F.col("vec_id"))
+        .when(F.col("vec_id") != F.col("exact_keeper"), F.col("exact_keeper"))
+        .when(F.col("vec_id") != F.col("cluster_id"), F.col("cluster_id"))
+        .otherwise(F.col("vec_id"))
+    )
+    return joined.select(
+        "vec_id", tier.alias("tier"), keeper.alias("keeper_id")
+    )
+
+
 # Image-pipeline edge kinds in precedence order (strongest identity first):
 # byte-identical file, identical decoded pixels, identical caption text,
 # identical pHash sketch, verified pixel near-dup, verified caption

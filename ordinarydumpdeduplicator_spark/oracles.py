@@ -307,6 +307,83 @@ def dedup_tier_stats_sql(
     """
 
 
+# Embedding-side augmentation (mirrors __spark_entry__._aug_embs): exact
+# copies and x2-scaled copies (same direction => cosine 1, different
+# bytes => 'near' not 'exact'; float32 doubling is exact in both engines)
+# with negative ids, empty vector added in `base` only so the sketch CTEs
+# never see an unsketchable empty array.
+_AUG_EMBS_CTE = """
+      SELECT vec_id, embedding FROM main.embeddings
+      UNION ALL
+      SELECT -(vec_id * 4 + 1) AS vec_id, embedding
+      FROM main.embeddings WHERE vec_id % 9 = 0
+      UNION ALL
+      SELECT -(vec_id * 4 + 2) AS vec_id,
+             list_transform(embedding, x -> x * 2.0::FLOAT) AS embedding
+      FROM main.embeddings WHERE vec_id % 5 = 0
+"""
+
+
+def embedding_dedup_tiers_sql(
+    dim: int,
+    threshold: float = 0.4,
+    bands: int = 16,
+    augmented: bool = False,
+) -> str:
+    """operators/tiers.embedding_dedup_tiers: exact grouping by the vector
+    value + the verified LSH pair list (embedding_near_pairs_lsh_sql)
+    closed via the recursive min-label CTE, precedence-cased."""
+    pairs_sql = embedding_near_pairs_lsh_sql(dim, threshold, bands)
+    aug = (
+        f"embeddings AS MATERIALIZED ({_AUG_EMBS_CTE}),\n    "
+        if augmented
+        else ""
+    )
+    empty_rows = (
+        "UNION ALL SELECT -4::BIGINT AS vec_id, []::FLOAT[] AS embedding"
+        if augmented
+        else ""
+    )
+    return f"""
+    WITH RECURSIVE {aug}base AS (
+      SELECT vec_id, embedding FROM embeddings
+      {empty_rows}
+    ),
+    ex AS (
+      SELECT embedding, min(vec_id) AS ek FROM embeddings GROUP BY embedding
+    ),
+    pairs AS MATERIALIZED (
+      SELECT vec_id_a AS a, vec_id_b AS b FROM ({pairs_sql})
+    ),
+    und AS (
+      SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM und),
+    reach AS (
+      SELECT id, id AS lbl FROM nodes
+      UNION
+      SELECT u.b AS id, r.lbl FROM reach r JOIN und u ON u.a = r.id
+    ),
+    comp AS (
+      SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT b.vec_id,
+           CASE WHEN b.embedding IS NULL OR len(b.embedding) = 0 THEN 'empty'
+                WHEN b.vec_id <> ex.ek THEN 'exact'
+                WHEN comp.cluster_id IS NOT NULL
+                     AND b.vec_id <> comp.cluster_id THEN 'near'
+                ELSE 'unique' END AS tier,
+           CASE WHEN b.embedding IS NULL OR len(b.embedding) = 0 THEN b.vec_id
+                WHEN b.vec_id <> ex.ek THEN ex.ek
+                WHEN comp.cluster_id IS NOT NULL
+                     AND b.vec_id <> comp.cluster_id THEN comp.cluster_id
+                ELSE b.vec_id END AS keeper_id
+    FROM base b
+    LEFT JOIN ex ON b.embedding = ex.embedding
+    LEFT JOIN comp ON b.vec_id = comp.vec_id
+    """
+
+
 # ------------------------------------------------------------------ simhash
 
 

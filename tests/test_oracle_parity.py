@@ -112,6 +112,19 @@ def test_dedup_tier_stats_oracle(spark, subset_dir, duck):
     _assert_parity(df, duck, o.dedup_tier_stats_sql(augmented=True))
 
 
+def test_embedding_dedup_tiers_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+    from ordinarydumpdeduplicator_spark import oracles as o
+
+    df = e.queries()["embedding_dedup_tiers"](spark, subset_dir)
+    sql = o.embedding_dedup_tiers_sql(dim=64, augmented=True)
+    _assert_parity(df, duck, sql)
+    tiers = {r[0] for r in duck.sql(
+        f"SELECT DISTINCT tier FROM ({sql})"
+    ).fetchall()}
+    assert tiers == {"empty", "exact", "near", "unique"}, tiers
+
+
 def test_simhash_near_pairs_oracle(spark, subset_dir, duck):
     import __spark_entry__ as e
     from ordinarydumpdeduplicator_spark import oracles as o

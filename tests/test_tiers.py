@@ -171,6 +171,41 @@ def test_cascade_matches_python_model(spark):
     run()
 
 
+def test_embedding_tier_attribution(spark):
+    """Embedding cascade on a hand-built corpus: identical vectors ->
+    exact; scaled (same-direction) vectors -> near; orthogonal -> unique;
+    empty -> empty."""
+    from ordinarydumpdeduplicator_spark.operators.tiers import (
+        embedding_dedup_tiers,
+    )
+
+    d = 64
+    base = [0.0] * d
+    base[0] = 1.0
+    scaled = [x * 2.0 for x in base]
+    ortho = [0.0] * d
+    ortho[1] = 1.0
+    rows = [
+        (1, base),
+        (2, list(base)),   # identical           -> exact (keeper 1)
+        (3, scaled),       # cosine 1, diff bytes -> near (keeper 1)
+        (4, ortho),        # cosine 0            -> unique
+        (5, []),           # empty
+    ]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: (r.tier, r.keeper_id)
+        for r in embedding_dedup_tiers(docs, dim=d).collect()
+    }
+    assert got == {
+        1: ("unique", 1),
+        2: ("exact", 1),
+        3: ("near", 1),
+        4: ("unique", 4),
+        5: ("empty", 5),
+    }
+
+
 def test_image_tier_report_unknown_kind(spark):
     """An edge kind the precedence list doesn't know must rank below every
     known tier as 'other', not crash element_at with index 0."""
