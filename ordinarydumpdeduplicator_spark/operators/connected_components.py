@@ -250,6 +250,37 @@ def connected_components(
     return members.union(roots).distinct()
 
 
+def numeric_min_components(edges: DataFrame, out_id: str = "id") -> DataFrame:
+    """(out_id long, cluster_id long, n_members long): connected
+    components of a (src, dst) edge frame with NUMERIC ids, remapped so
+    each component's label is its numeric-min member.
+
+    connected_components labels with the STRING-min member ("10" < "9"
+    lexically, negatives order wrong), so any numeric-id caller needs
+    this remap — shared here so the subtle fix lives in one place
+    (callers: text_dedup.near_dup_text_clusters, tiers.
+    embedding_dedup_tiers). The remap is one aggregate + equi-join on the
+    component key, both sides from the same assignment frame — AQE
+    broadcasts when the head set is small."""
+    assign = connected_components(
+        edges.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        )
+    )
+    members = assign.select(
+        F.col("image_id").cast("long").alias(out_id),
+        F.col("cluster_id").alias("component"),
+    )
+    heads = members.groupBy("component").agg(
+        F.min(out_id).alias("cluster_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return members.join(heads, "component").select(
+        out_id, "cluster_id", "n_members"
+    )
+
+
 def incremental_clusters(
     prev_assign: DataFrame,
     new_edges: DataFrame,

@@ -361,24 +361,13 @@ def near_dup_text_clusters(
         docs, id_col=id_col, text_col=text_col,
         jaccard_threshold=jaccard_threshold,
     )
-    from .connected_components import connected_components
+    from .connected_components import numeric_min_components
 
-    assign = connected_components(
+    clustered = numeric_min_components(
         pairs.select(
             F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
-        )
-    )
-    # string-min component heads -> numeric-min heads ("10" < "9" lexically)
-    members = assign.select(
-        F.col("image_id").cast("long").alias("doc_id"),
-        F.col("cluster_id").alias("component"),
-    )
-    heads = members.groupBy("component").agg(
-        F.min("doc_id").alias("cluster_id"),
-        F.count(F.lit(1)).alias("n_members"),
-    )
-    clustered = members.join(heads, "component").select(
-        "doc_id", "cluster_id", "n_members"
+        ),
+        out_id="doc_id",
     )
     everyone = docs.select(F.col(id_col).alias("doc_id"))
     singletons = everyone.join(clustered, "doc_id", "left_anti").select(

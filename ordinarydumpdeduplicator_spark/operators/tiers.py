@@ -137,8 +137,11 @@ def embedding_dedup_tiers(
     dim: int,
     threshold: float = 0.4,
     bands: int = 16,
+    n_planes: int = 64,
+    bucket_cap: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """The tier cascade on the embedding modality: (vec_id, tier,
     keeper_id) with tiers empty -> exact -> near -> unique.
@@ -149,10 +152,26 @@ def embedding_dedup_tiers(
     - near:  verified hyperplane-LSH cosine pairs (>= threshold) closed
       into components, numeric-min heads — the embedding twin of
       near_dup_text_clusters
+
+    SIZE THE BANDS TO THE CORPUS: each band has n_planes/bands sign bits,
+    so random vectors spread over ~2^(n_planes/bands) buckets per band and
+    the expected bucket holds ~corpus / 2^bits rows. The driver-gate
+    default (64 planes / 16 bands = 4 bits = 16 keys) is tuned for the
+    low-threshold small-corpus oracle regime and COLLAPSES past ~16k
+    vectors (every bucket over bucket_cap is dropped, the near tier goes
+    silently empty). At scale raise bits-per-band until corpus / 2^bits is
+    comfortably under bucket_cap — e.g. 10^9 vectors with cap 1024 wants
+    >= 20 bits per band (n_planes = bands * 20), adding bands to recover
+    the recall the finer buckets cost.
+
+    ``clusters``: optionally a precomputed (vec_id, cluster_id) numeric-min
+    assignment (a checkpointed stage table) — same reuse contract as
+    dedup_tiers; skips the sketch -> verify -> CC chain entirely.
+
     Same precedence-over-independent-groupings semantics as dedup_tiers;
     empty/NULL vectors tier as 'empty' and never enter the sketch path
     (an empty array cannot be sketched)."""
-    from .connected_components import connected_components
+    from .connected_components import numeric_min_components
     from .similarity import embedding_near_pairs_lsh
 
     base = embeddings.select(
@@ -162,26 +181,20 @@ def embedding_dedup_tiers(
         F.col("vec").isNotNull() & (F.size("vec") > 0)
     )
     ex = nonempty.groupBy("vec").agg(F.min("vec_id").alias("exact_keeper"))
-    pairs = embedding_near_pairs_lsh(
-        nonempty, dim=dim, threshold=threshold, bands=bands,
-        id_col="vec_id", vec_col="vec",
-    )
-    assign = connected_components(
-        pairs.select(
-            F.col("vec_id_a").cast("string").alias("src"),
-            F.col("vec_id_b").cast("string").alias("dst"),
+    if clusters is None:
+        kw = {} if bucket_cap is None else {"bucket_cap": bucket_cap}
+        pairs = embedding_near_pairs_lsh(
+            nonempty, dim=dim, threshold=threshold, bands=bands,
+            n_planes=n_planes, id_col="vec_id", vec_col="vec", **kw,
         )
-    )
-    # string-min component heads -> numeric-min heads (negatives and
-    # multi-digit ids make lexicographic min wrong)
-    members = assign.select(
-        F.col("image_id").cast("long").alias("vec_id"),
-        F.col("cluster_id").alias("component"),
-    )
-    heads = members.groupBy("component").agg(
-        F.min("vec_id").alias("cluster_id")
-    )
-    clusters = members.join(heads, "component").select("vec_id", "cluster_id")
+        clusters = numeric_min_components(
+            pairs.select(
+                F.col("vec_id_a").alias("src"),
+                F.col("vec_id_b").alias("dst"),
+            ),
+            out_id="vec_id",
+        )
+    clusters = clusters.select("vec_id", "cluster_id")
     is_empty = F.col("vec").isNull() | (F.size("vec") == 0)
     joined = base.join(ex, "vec", "left").join(clusters, "vec_id", "left")
     tier = (

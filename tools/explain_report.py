@@ -52,6 +52,7 @@ HEADLINE = [
     "pii_scrub",
     "dedup_tiers",
     "dedup_tier_stats",
+    "embedding_dedup_tiers",
 ]
 
 
