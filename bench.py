@@ -151,6 +151,21 @@ def main() -> None:
         # count() materializes the full result without driver collect
         timings[name] = _time(lambda: fn(spark, sf_dir).count())
 
+    # embedding tier cascade in the PRODUCTION near-dup regime (threshold
+    # 0.9, 8x8-bit bands) over the raw corpus — the driver-gate query runs
+    # the low-threshold 4-bit oracle config, whose candidate volume is
+    # deliberately near-quadratic at small scale and not a perf statement
+    from ordinarydumpdeduplicator_spark.operators.tiers import (
+        embedding_dedup_tiers,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timings["embedding_dedup_tiers"] = _time(
+        lambda: embedding_dedup_tiers(
+            emb, dim=64, threshold=0.9, bands=8
+        ).count()
+    )
+
     data_dir = os.environ.get("ODD_BENCH_DATA", "/tmp/odd_bench_data")
     os.makedirs(data_dir, exist_ok=True)
     wall, wall_cold, n_assigned = bench_images_pipeline(
