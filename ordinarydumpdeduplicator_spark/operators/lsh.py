@@ -42,6 +42,24 @@ from pyspark.sql import functions as F
 DEFAULT_BUCKET_CAP = 256
 
 
+def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Small-input guard for expensive Arrow-UDF stages.
+
+    A single small parquet file plans ONE scan partition, which serializes
+    the vectorized signature/sketch UDF on one core (measured: the whole
+    text candidate chain at sf0.1 was one 5s UDF task while 31 cores sat
+    idle). When the planned partition count is below the cluster's
+    defaultParallelism, repartition up to it — the shuffle moves only the
+    small input that caused the problem. At scale the input already has
+    >= defaultParallelism splits and this is a no-op (no added shuffle,
+    no coalesce of well-partitioned inputs)."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def pairs_from_buckets(
     banded: DataFrame,
     id_col: str = "id",

@@ -245,8 +245,11 @@ def _banded_rows_materialized(
     TWICE. Vectors are NOT carried through the banding shuffle: the
     candidate pairs re-join them by id (bounded by candidate count), the
     same pull-columns-by-id shape as operators/verify.py."""
+    from .lsh import ensure_min_parallelism
+
     rows = band_sketch(
-        embeddings, dim, n_planes, bands, id_col, vec_col
+        ensure_min_parallelism(embeddings), dim, n_planes, bands,
+        id_col, vec_col,
     ).select("vec_id", F.posexplode("keys").alias("band", "key"))
     return _cap_buckets(rows, bucket_cap).localCheckpoint()
 

@@ -154,10 +154,11 @@ def minhash_candidate_pairs(
     a filter on a pandas-UDF output column makes Catalyst evaluate the
     UDF TWICE (once inside the Filter, once again to produce the column
     after it — visible as two ArrowEvalPython nodes in the plan)."""
-    sigs = docs.select(
-        F.col(id_col).cast("string").alias("id"),
-        band_keys_udf(F.col(text_col)).alias("bands"),
-    )
+    from .lsh import ensure_min_parallelism
+
+    sigs = ensure_min_parallelism(
+        docs.select(F.col(id_col).cast("string").alias("id"), text_col)
+    ).select("id", band_keys_udf(F.col(text_col)).alias("bands"))
     banded = caption_band_rows(sigs)
     return pairs_from_buckets(banded, bucket_cap=bucket_cap)
 
@@ -263,11 +264,13 @@ def simhash_near_pairs(
     # of the candidate join-back), and the isNotNull filter on a
     # pandas-UDF output column alone already makes Catalyst evaluate the
     # UDF twice — the cut pays one small job to run the UDF exactly once
+    from .lsh import ensure_min_parallelism
+
     sh = (
-        docs.select(
-            F.col(id_col).cast("string").alias("id"),
-            simhash_udf(F.col(text_col)).alias("simhash"),
+        ensure_min_parallelism(
+            docs.select(F.col(id_col).cast("string").alias("id"), text_col)
         )
+        .select("id", simhash_udf(F.col(text_col)).alias("simhash"))
         .filter(F.col("simhash").isNotNull())
         .localCheckpoint()
     )
