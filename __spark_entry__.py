@@ -515,6 +515,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             hist, batch, "content_sha", n_shards=8, bits_per_shard=1 << 16
         ).select("doc_id", "lang", "source", "content_sha")
 
+    def q_cross_corpus_novel(spark, sf):
+        # fuzzy incremental dedup: batch = doc_id % 4 == 0 vs the rest as
+        # the reference snapshot; near-dup ANYWHERE in the snapshot
+        # disqualifies a batch doc (oracles.cross_corpus_novel_sql)
+        from ordinarydumpdeduplicator_spark.operators.cross_dedup import (
+            cross_corpus_matches,
+        )
+
+        docs = _docs(spark, sf)
+        return cross_corpus_matches(
+            docs.filter(F.col("doc_id") % 4 == 0),
+            docs.filter(F.col("doc_id") % 4 != 0),
+        )
+
     def q_soft_dedup_weights(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.text_dedup import (
             soft_dedup_weights,
@@ -728,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trim_duplicate_spans": q_trim_duplicate_spans,
         "gopher_filter": q_gopher_filter,
         "incremental_new_docs": q_incremental_new_docs,
+        "cross_corpus_novel": q_cross_corpus_novel,
     }
 
 
@@ -1243,6 +1258,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates": osql.minhash_candidates_sql(),
         "near_dup_text_pairs": osql.near_dup_text_pairs_sql(),
         "near_dup_text_clusters": osql.near_dup_text_clusters_sql(),
+        "cross_corpus_novel": osql.cross_corpus_novel_sql(),
         "dedup_tiers": osql.dedup_tiers_sql(augmented=True),
         "dedup_tier_stats": osql.dedup_tier_stats_sql(augmented=True),
         "embedding_dedup_tiers": osql.embedding_dedup_tiers_sql(

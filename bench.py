@@ -145,6 +145,8 @@ def main() -> None:
         "tfidf_keywords",
         # the graft's namesake: full tier cascade + per-tier accounting
         "dedup_tier_stats",
+        # fuzzy incremental dedup: batch vs reference snapshot
+        "cross_corpus_novel",
     ]
     for name in headline:
         fn = qs[name]

@@ -149,6 +149,80 @@ def near_dup_text_pairs_sql(
     """
 
 
+def cross_corpus_novel_sql(
+    batch_mod: int = 4,
+    jaccard_threshold: float = 0.5,
+    lcs_ratio: float = 0.6,
+    ref_cap: int = DEFAULT_BUCKET_CAP,
+) -> str:
+    """operators/cross_dedup.cross_corpus_matches over a deterministic
+    split of `documents`: batch = doc_id % batch_mod == 0, reference =
+    the rest. Bands reuse the in-corpus CTE chain (same signature math on
+    every document); the reference side of each (band, slice) bucket is
+    capped with the engine's standard rule (over-cap buckets collapse to
+    their min-id witness); candidates are CROSS-side only; verification
+    is the near_dup_text_pairs jaccard-or-LCS rule; the match witness is
+    the numeric-min verified reference id."""
+    return f"""
+    WITH {_minhash_band_ctes()},
+    sides AS (
+      SELECT doc_id::VARCHAR AS id, doc_id % {batch_mod} = 0 AS is_batch
+      FROM documents
+    ),
+    rb AS (
+      SELECT bands.id, band, key FROM bands JOIN sides USING (id)
+      WHERE NOT is_batch
+    ),
+    rstats AS (
+      SELECT band, key, count(*) AS rn, min(id) AS rmn
+      FROM rb GROUP BY band, key
+    ),
+    rcap AS (
+      SELECT rb.id, rb.band, rb.key
+      FROM rb JOIN rstats USING (band, key)
+      WHERE rn <= {ref_cap} OR rb.id = rmn
+    ),
+    bb AS (
+      SELECT bands.id, band, key FROM bands JOIN sides USING (id)
+      WHERE is_batch
+    ),
+    ccand AS (
+      SELECT DISTINCT bb.id AS src, rcap.id AS dst
+      FROM bb JOIN rcap USING (band, key)
+    ),
+    cj AS (
+      SELECT ccand.src, ccand.dst,
+             a.sh AS sh_a, b.sh AS sh_b, a.text AS ta, b.text AS tb
+      FROM ccand JOIN sh a ON ccand.src = a.id JOIN sh b ON ccand.dst = b.id
+    ),
+    -- verify math identical to near_dup_text_pairs_sql (operators/verify)
+    cscored AS (
+      SELECT src, dst, ta, tb,
+             len(list_intersect(sh_a, sh_b))::DOUBLE
+               / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+               AS jacc,
+             list_min([l for l in range(1, least(length(ta), length(tb)) + 1)
+                       if l::DOUBLE / greatest(least(length(ta), length(tb)), 1)
+                          >= {lcs_ratio}]) AS L
+      FROM cj
+    ),
+    cver AS (
+      SELECT src, dst FROM cscored
+      WHERE jacc >= {jaccard_threshold}
+         OR (L IS NOT NULL AND len(list_intersect(
+               [substr(ta, i, L) for i in range(1, length(ta) - L + 2)],
+               [substr(tb, i, L) for i in range(1, length(tb) - L + 2)])) > 0)
+    ),
+    cmatch AS (
+      SELECT src, min(dst::BIGINT) AS match_ref_id FROM cver GROUP BY src
+    )
+    SELECT d.doc_id, cmatch.match_ref_id,
+           cmatch.match_ref_id IS NULL AS is_novel
+    FROM documents d LEFT JOIN cmatch ON d.doc_id::VARCHAR = cmatch.src
+    WHERE d.doc_id % {batch_mod} = 0
+    """
+
+
 def near_dup_text_clusters_sql(
     jaccard_threshold: float = 0.5, lcs_ratio: float = 0.6
 ) -> str:

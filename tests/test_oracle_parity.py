@@ -84,6 +84,17 @@ def test_near_dup_text_pairs_oracle(spark, subset_dir, duck):
     _assert_parity(df, duck, o.near_dup_text_pairs_sql())
 
 
+def test_cross_corpus_novel_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+    from ordinarydumpdeduplicator_spark import oracles as o
+
+    df = e.queries()["cross_corpus_novel"](spark, subset_dir)
+    matched = df.filter("not is_novel").count()
+    assert matched > 0, "subset lost all cross-side near-dups"
+    assert df.filter("is_novel").count() > 0, "no novel docs in subset"
+    _assert_parity(df, duck, o.cross_corpus_novel_sql())
+
+
 def test_near_dup_text_clusters_oracle(spark, subset_dir, duck):
     import __spark_entry__ as e
     from ordinarydumpdeduplicator_spark import oracles as o
