@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_tiers",
     "dedup_tier_stats",
     "embedding_dedup_tiers",
+    "cross_corpus_novel",
 ]
 
 
