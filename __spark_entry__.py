@@ -481,6 +481,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return token_freq_quality(_docs(spark, sf), top_k=32, rare_max=2)
 
+    def q_quality_buckets(spark, sf):
+        # CCNet head/middle/tail per language, scored by the corpus-
+        # frequency LM proxy (avg per-position token frequency)
+        from ordinarydumpdeduplicator_spark.operators.text_analysis import (
+            percentile_buckets,
+            token_freq_quality,
+        )
+
+        docs = _docs(spark, sf)
+        tfq = token_freq_quality(docs, top_k=32, rare_max=2)
+        scored = tfq.join(docs.select("doc_id", "lang"), "doc_id").select(
+            "doc_id",
+            "lang",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("sum_token_freq") / F.col("n_tokens"),
+            ).alias("avg_tok_freq"),
+        )
+        return percentile_buckets(scored, "avg_tok_freq")
+
     def q_trim_duplicate_spans(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.substring_dedup import (
             trim_duplicate_spans,
@@ -739,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "sequence_packing": q_sequence_packing,
         "token_freq_quality": q_token_freq_quality,
+        "quality_buckets": q_quality_buckets,
         "trim_duplicate_spans": q_trim_duplicate_spans,
         "gopher_filter": q_gopher_filter,
         "incremental_new_docs": q_incremental_new_docs,
@@ -1547,6 +1568,43 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.n_rare_tokens, 0)::BIGINT AS n_rare_tokens,
                    coalesce(s.n_oov_tokens, 0)::BIGINT AS n_oov_tokens
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        # same vocab/score CTEs as token_freq_quality, then the CCNet
+        # head/middle/tail cut: ntile(3) per lang over
+        # (avg_tok_freq DESC NULLS LAST, doc_id) — the exact order the
+        # engine's percentile_buckets window uses
+        "quality_buckets": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ),
+            vocab AS (
+              SELECT tok, count(*)::BIGINT AS freq FROM toks
+              GROUP BY tok ORDER BY freq DESC, tok LIMIT 32
+            ),
+            scored AS (
+              SELECT t.doc_id,
+                     count(*)::BIGINT AS n_tokens,
+                     sum(coalesce(v.freq, 0))::BIGINT AS sum_token_freq
+              FROM toks t LEFT JOIN vocab v USING (tok)
+              GROUP BY t.doc_id
+            ),
+            q AS (
+              SELECT d.doc_id, d.lang,
+                     CASE WHEN coalesce(s.n_tokens, 0) > 0
+                          THEN s.sum_token_freq::DOUBLE / s.n_tokens
+                     END AS avg_tok_freq
+              FROM documents d LEFT JOIN scored s USING (doc_id)
+            )
+            SELECT doc_id, lang, avg_tok_freq, bucket,
+                   (['head', 'middle', 'tail'])[bucket] AS bucket_label
+            FROM (
+              SELECT doc_id, lang, avg_tok_freq,
+                     ntile(3) OVER (
+                       PARTITION BY lang
+                       ORDER BY avg_tok_freq DESC NULLS LAST, doc_id
+                     )::BIGINT AS bucket
+              FROM q
+            )
         """,
         # the bloom filter is a work-avoidance device; the OUTPUT contract
         # is exactly the anti-join (operators/bloom_dedup docstring)

@@ -298,6 +298,54 @@ def token_freq_quality(
     )
 
 
+def percentile_buckets(
+    scores: DataFrame,
+    score_col: str,
+    group_col: str = "lang",
+    n_buckets: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style per-group percentile buckets: rank every document
+    within its group by a quality score (best first) and cut the group
+    into ``n_buckets`` equal-size tiers — CCNet's head/middle/tail split
+    by language-model score, with our corpus-frequency proxy (or any
+    score column) standing in for the LM.
+
+    Determinism (the oracle contract): the window order is
+    (score DESC NULLS LAST, id ASC) — ties and NULL scores (docs with no
+    tokens) land identically on both engines — and ``ntile`` follows the
+    standard SQL rule (the first ``n mod buckets`` tiers take the extra
+    row). ``bucket`` is emitted as BIGINT so the driver's value hash
+    agrees with DuckDB's ntile type.
+
+    Scale shape: ntile needs each group's full distribution order, so
+    this is one shuffle on ``group_col`` + a per-group sort — honest and
+    unavoidable for EXACT percentile cuts, and fine when groups are
+    numerous relative to executors (languages, sources, shards). For few
+    huge groups at 100 TB, cut instead by thresholds from
+    ``approx_percentile`` (one aggregate, no global sort) and accept the
+    approximation — this exact form is the oracle-checkable core the
+    approx variant is validated against."""
+    from pyspark.sql import Window
+
+    if len(labels) != n_buckets:
+        raise ValueError(f"need {n_buckets} labels, got {len(labels)}")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
+    )
+    nt = F.ntile(n_buckets).over(w).cast("long")
+    return scores.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        nt.alias("bucket"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in labels]), nt.cast("int")
+        ).alias("bucket_label"),
+    )
+
+
 def gopher_quality_filter(
     docs: DataFrame,
     id_col: str = "doc_id",

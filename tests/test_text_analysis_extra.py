@@ -178,3 +178,52 @@ def test_tfidf_keywords_hand_computed(spark):
     assert got[(3, 1)] == ("cherry", 2, round(2 * idf2, 6))
     assert got[(3, 2)] == ("dog", 1, round(idf1, 6))
     assert all(doc != 4 for doc, _ in got)  # NULL text excluded
+
+
+def test_percentile_buckets(spark):
+    from ordinarydumpdeduplicator_spark.operators.text_analysis import (
+        percentile_buckets,
+    )
+
+    scores = spark.createDataFrame(
+        [
+            # en: 6 docs -> tiers of 2/2/2; doc 2 ties doc 1 (id breaks),
+            # doc 6 has a NULL score (no tokens) -> sorts last
+            (1, "en", 10.0),
+            (2, "en", 10.0),
+            (3, "en", 5.0),
+            (4, "en", 3.0),
+            (5, "en", 1.0),
+            (6, "en", None),
+            # de: 4 docs -> ntile sizes 2/1/1 (first tier takes the extra)
+            (7, "de", 9.0),
+            (8, "de", 8.0),
+            (9, "de", 7.0),
+            (10, "de", 6.0),
+        ],
+        "doc_id long, lang string, score double",
+    )
+    out = percentile_buckets(scores, "score")
+    rows = {r["doc_id"]: (r["bucket"], r["bucket_label"]) for r in out.collect()}
+    assert rows == {
+        1: (1, "head"), 2: (1, "head"),
+        3: (2, "middle"), 4: (2, "middle"),
+        5: (3, "tail"), 6: (3, "tail"),
+        7: (1, "head"), 8: (1, "head"),
+        9: (2, "middle"), 10: (3, "tail"),
+    }
+    assert dict(out.dtypes)["bucket"] == "bigint"  # driver value-hash width
+
+
+def test_percentile_buckets_label_mismatch(spark):
+    import pytest as _pytest
+
+    from ordinarydumpdeduplicator_spark.operators.text_analysis import (
+        percentile_buckets,
+    )
+
+    scores = spark.createDataFrame(
+        [(1, "en", 1.0)], "doc_id long, lang string, score double"
+    )
+    with _pytest.raises(ValueError, match="labels"):
+        percentile_buckets(scores, "score", n_buckets=4)
