@@ -147,6 +147,8 @@ def main() -> None:
         "dedup_tier_stats",
         # fuzzy incremental dedup: batch vs reference snapshot
         "cross_corpus_novel",
+        # CCNet head/middle/tail percentile cut per language
+        "quality_buckets",
     ]
     for name in headline:
         fn = qs[name]
