@@ -467,6 +467,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             targets={"en": 0.4, "de": 0.3, "fr": 0.3},
         )
 
+    def q_dsir_weights(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.sampling import (
+            dsir_importance_weights,
+        )
+
+        # target distribution: the English subset (proxy for "looks like
+        # the high-quality reference corpus"); q is the whole crawl
+        return dsir_importance_weights(
+            _docs(spark, sf), target=F.col("lang") == "en"
+        )
+
     def q_sequence_packing(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.packing import (
             pack_sequences,
@@ -757,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
+        "dsir_weights": q_dsir_weights,
         "sequence_packing": q_sequence_packing,
         "token_freq_quality": q_token_freq_quality,
         "quality_buckets": q_quality_buckets,
@@ -1494,6 +1506,59 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         "stratified_sample": _stratified_sample_sql(),
+        "dsir_weights": """
+            -- DSIR hashed-n-gram importance weights: p = English subset,
+            -- q = whole corpus, add-one smoothing over 4096 buckets.
+            -- Replays sampling.dsir_importance_weights bit-for-bit: same
+            -- tokenizer as tfidf (lower + whitespace split), same 60-bit
+            -- md5 bucket draw as mixture_sample, identical IEEE double
+            -- steps, sums rounded (4 dp raw / 6 dp normalized) to absorb
+            -- summation-order ulps.
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t,
+                     lang = 'en' AS is_t
+              FROM documents WHERE text IS NOT NULL
+            ), ng AS (
+              SELECT doc_id, is_t, unnest(
+                 t || CASE WHEN len(t) >= 2
+                      THEN list_transform(range(2, len(t) + 1),
+                           i -> t[i-1] || ' ' || t[i])
+                      ELSE []::VARCHAR[] END) AS g
+              FROM base
+            ), bk AS (
+              SELECT doc_id, is_t,
+                     ('0x' || substr(md5('dsir:' || g), 1, 15))::BIGINT
+                       % 4096 AS bucket
+              FROM ng
+            ), q AS (
+              SELECT bucket, count(*)::DOUBLE AS qc FROM bk GROUP BY bucket
+            ), p AS (
+              SELECT bucket, count(*)::DOUBLE AS pc
+              FROM bk WHERE is_t GROUP BY bucket
+            ), ratio AS (
+              SELECT q.bucket,
+                     ln((coalesce(p.pc, 0) + 1.0)
+                        / ((SELECT coalesce(sum(pc), 0) FROM p) + 4096.0))
+                   - ln((q.qc + 1.0)
+                        / ((SELECT sum(qc) FROM q) + 4096.0)) AS lr
+              FROM q LEFT JOIN p USING (bucket)
+            ), dbk AS (
+              SELECT doc_id, bucket, count(*)::DOUBLE AS n
+              FROM bk GROUP BY 1, 2
+            ), docw AS (
+              SELECT doc_id, sum(n)::BIGINT AS n_ngrams,
+                     round(sum(n * lr), 4) AS w,
+                     round(sum(n * lr) / sum(n), 6) AS s
+              FROM dbk JOIN ratio USING (bucket) GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.lang, d.source,
+                   coalesce(docw.n_ngrams, 0)::BIGINT AS n_ngrams,
+                   coalesce(docw.w, 0.0) AS dsir_logweight,
+                   coalesce(docw.s, 0.0) AS dsir_score
+            FROM documents d LEFT JOIN docw USING (doc_id)
+        """,
         "mixture_sample": """
             WITH counts AS (
               SELECT lang, count(*)::DOUBLE AS c FROM documents GROUP BY lang

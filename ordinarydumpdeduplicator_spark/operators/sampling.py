@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens_col
+
 
 def fraction_to_hex_threshold(fraction: float, digits: int = 32) -> str:
     """``fraction`` of the [0, 16^digits) hash space as a lowercase-hex
@@ -183,3 +185,149 @@ def mixture_sample(
     return df.join(F.broadcast(rates), stratum_col).filter(
         hash60(F.col(key_col), salt) < F.col("__thr")
     ).drop("__thr")
+
+
+def _hashed_ngrams(text: Column, n_buckets: int, salt: str) -> Column:
+    """Array of hashed-n-gram bucket ids (unigrams + bigrams) for one
+    document, entirely in JVM expressions.
+
+    Tokenization is the repo-wide ``tokens_col`` convention (lowercase,
+    whitespace split, empties dropped) — the same rule the tfidf oracle
+    already pins to DuckDB's ``string_split_regex(lower(text), '\\s+')``.
+    Bigrams come from a guarded ``transform(sequence(2, size(t)), ...)``
+    (Spark's ``sequence(2, 1)`` would count DOWN, so size<2 short-circuits
+    to an empty array). Each n-gram maps to a bucket via the 60-bit MD5
+    draw (`hash60`) mod ``n_buckets`` — the exact integer DuckDB re-derives
+    with ``('0x' || substr(md5(...), 1, 15))::BIGINT % n_buckets``."""
+    t = tokens_col(text)
+    grams = F.concat(
+        t,
+        F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(2), F.size(t)),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i - 1), F.element_at(t, i)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return F.transform(grams, lambda g: hash60(g, salt) % n_buckets)
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    salt: str = "dsir",
+    carry_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling").
+
+    Fits two bag-of-hashed-n-gram unigram models — ``p`` over the rows
+    where ``target`` is true (the corpus you want more of, e.g. a
+    wiki-like subset) and ``q`` over the whole input — then scores every
+    document with the log importance weight
+
+        w(x) = sum over x's n-gram occurrences of  ln p[b] - ln q[b]
+             = sum over buckets b of  n_b(x) * (ln p[b] - ln q[b])
+
+    with add-one smoothing on both distributions. ``dsir_score`` is the
+    length-normalized variant ``w / n_ngrams`` (mean per-n-gram
+    log-ratio) — raw ``w`` scales with document length, so thresholding
+    or resampling should use the score. Selection itself is deliberately
+    NOT an output: a top-fraction rank is a global sort (non-starter at
+    10^12 rows) — instead threshold the score, or compose with the
+    hash-rule samplers above for a reproducible resample.
+
+    Scale shape: the n-gram hashing is a map-only expression; the bucket
+    histograms are two hash-aggregates whose OUTPUT is at most
+    ``n_buckets`` rows (the p/q tables and their totals are tiny no
+    matter the corpus size — the log-ratio table broadcast-joins back to
+    the per-(doc, bucket) counts, never a collect). Per-doc weights are
+    one more hash-agg keyed by doc. Nothing driver-side, no UDFs. At
+    10^12 docs the only full-data shuffles are the (doc_id, bucket)
+    count and the final per-doc sum — both partial-aggregated map-side.
+
+    Float parity: the weight is a sum of (integer count × double
+    log-ratio) terms; engines may sum in different orders, so the
+    emitted ``dsir_logweight`` is rounded to 4 dp (error from ordering
+    ~1e-11 at this magnitude; same policy as tfidf_keywords' round-6).
+
+    Reference analogue: none (beyond-reference, SURVEY §2.12) — the
+    reference selects nothing, it enumerates a filesystem exhaustively.
+    """
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        target.alias("__is_target"),
+        F.explode(
+            _hashed_ngrams(F.col(text_col), n_buckets, salt)
+        ).alias("bucket"),
+    )
+    q = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("qc")
+    )
+    p = base.where(F.col("__is_target")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("pc")
+    )
+    # totals via an all-rows window over the <= n_buckets histogram rows
+    # (never data-sized) — keeps the whole operator one lazy plan
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ratio = (
+        q.join(p, "bucket", "left")
+        .withColumn("qtot", F.sum("qc").over(w_all))
+        .withColumn("ptot", F.sum(F.coalesce(F.col("pc"), F.lit(0.0))).over(w_all))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("pc"), F.lit(0.0)) + F.lit(1.0))
+                    / (F.col("ptot") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("qc") + F.lit(1.0))
+                    / (F.col("qtot") + F.lit(float(n_buckets)))
+                )
+            ).alias("lr"),
+        )
+    )
+    doc_w = (
+        base.groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_ngrams"),
+            F.round(F.sum(F.col("n") * F.col("lr")), 4).alias(
+                "dsir_logweight"
+            ),
+            F.round(
+                F.sum(F.col("n") * F.col("lr")) / F.sum("n"), 6
+            ).alias("dsir_score"),
+        )
+    )
+    out_cols = [F.col(id_col).alias("doc_id")] + [
+        F.col(c) for c in carry_cols
+    ]
+    return (
+        docs.select(*out_cols)
+        .join(doc_w, "doc_id", "left")
+        .select(
+            "doc_id",
+            *carry_cols,
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias(
+                "n_ngrams"
+            ),
+            F.coalesce(F.col("dsir_logweight"), F.lit(0.0)).alias(
+                "dsir_logweight"
+            ),
+            F.coalesce(F.col("dsir_score"), F.lit(0.0)).alias(
+                "dsir_score"
+            ),
+        )
+    )

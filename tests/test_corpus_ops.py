@@ -381,3 +381,109 @@ def test_mixture_sample_rebalances(spark):
     assert "xx" not in by
     with pytest.raises(ValueError, match="target shares"):
         mixture_sample(df, {"en": 0.0})
+
+
+# ------------------------------------------------------------- DSIR weights
+
+
+def _dsir_python_model(rows, target_langs, n_buckets=4096, salt="dsir"):
+    """Pure-Python replica of dsir_importance_weights (hashlib md5)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    def ngrams(text):
+        toks = [t for t in text.lower().split() if t]
+        return toks + [
+            f"{toks[i - 1]} {toks[i]}" for i in range(1, len(toks))
+        ]
+
+    def bucket(g):
+        h = hashlib.md5(f"{salt}:{g}".encode()).hexdigest()
+        return int(h[:15], 16) % n_buckets
+
+    per_doc: dict[int, Counter] = {}
+    q: Counter = Counter()
+    p: Counter = Counter()
+    for doc_id, text, lang in rows:
+        if text is None:
+            continue
+        c = Counter(bucket(g) for g in ngrams(text))
+        per_doc[doc_id] = c
+        q.update(c)
+        if lang in target_langs:
+            p.update(c)
+    qtot, ptot = sum(q.values()), sum(p.values())
+    out = {}
+    for doc_id, c in per_doc.items():
+        w = sum(
+            n
+            * (
+                math.log((p.get(b, 0) + 1.0) / (ptot + n_buckets))
+                - math.log((q[b] + 1.0) / (qtot + n_buckets))
+            )
+            for b, n in c.items()
+        )
+        n_ng = sum(c.values())
+        out[doc_id] = (n_ng, round(w, 4), round(w / n_ng, 6) if n_ng else 0.0)
+    return out
+
+
+def test_dsir_weights_match_python_model(spark):
+    from ordinarydumpdeduplicator_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    wiki = "the quick brown fox jumps over the lazy dog near the river bank"
+    crawl = "click here buy now cheap deals free shipping limited offer sale"
+    rows = [
+        (i, " ".join(wiki.split()[i % 3 :]) + f" extra{i % 5}", "en")
+        for i in range(30)
+    ] + [
+        (100 + i, " ".join(crawl.split()[i % 4 :]) + f" spam{i % 3}", "de")
+        for i in range(30)
+    ] + [
+        (200, None, "en"),  # null text -> zero row
+        (201, "", "en"),  # empty text -> zero n-grams
+        (202, "solo", "de"),  # single token -> no bigrams
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).withColumn("source", F.lit("s"))
+    res = {
+        r.doc_id: (r.n_ngrams, r.dsir_logweight, r.dsir_score)
+        for r in dsir_importance_weights(
+            df, target=F.col("lang") == "en"
+        ).collect()
+    }
+    model = _dsir_python_model(
+        [(i, t, l) for i, t, l in rows], target_langs={"en"}
+    )
+    assert len(res) == len(rows)
+    for doc_id, (n_ng, w, s) in model.items():
+        got = res[doc_id]
+        assert got[0] == n_ng, (doc_id, got, (n_ng, w, s))
+        assert got[1] == pytest.approx(w, abs=2e-4), (doc_id, got, w)
+        assert got[2] == pytest.approx(s, abs=2e-6), (doc_id, got, s)
+    # null-text and empty-text docs: zero n-grams, zero weight
+    for zero_id in (200, 201):
+        assert res[zero_id] == (0, 0.0, 0.0)
+    # single-token doc has exactly one unigram and no bigram
+    assert res[202][0] == 1
+
+
+def test_dsir_weights_separate_target_from_crawl(spark):
+    from ordinarydumpdeduplicator_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = (
+        dsir_importance_weights(docs, target=F.col("lang") == "en")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("dsir_score").alias("mean_score"))
+        .collect()
+    )
+    by = {r[0]: r.mean_score for r in out}
+    # target-language docs must look more target-like on average
+    assert by[True] > by[False] + 0.01, by

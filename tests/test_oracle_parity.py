@@ -203,6 +203,14 @@ def test_repetition_stats_oracle(spark, subset_dir, duck):
     _assert_parity(df, duck, e.oracle_sql()["repetition_stats"])
 
 
+def test_dsir_weights_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+
+    df = e.queries()["dsir_weights"](spark, subset_dir)
+    assert df.count() == 150, "one weight row per document"
+    _assert_parity(df, duck, e.oracle_sql()["dsir_weights"])
+
+
 def test_decontamination_oracle(spark, subset_dir, duck):
     import __spark_entry__ as e
 
