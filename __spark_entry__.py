@@ -467,6 +467,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             targets={"en": 0.4, "de": 0.3, "fr": 0.3},
         )
 
+    def q_curation_funnel(spark, sf):
+        from ordinarydumpdeduplicator_spark.plans.curation import (
+            curation_funnel,
+        )
+
+        d = _docs(spark, sf).select("doc_id", "text", "lang")
+        train = d.where(F.col("doc_id") % 10 != 0)
+        ev = d.where(F.col("doc_id") % 10 == 0)
+        # planted variants (negative ids, same scheme as _aug_docs) so
+        # the exact-dedup stage fires at driver scale — the raw synthetic
+        # corpus has zero exact duplicates
+        copies = train.filter(F.col("doc_id") % 7 == 0).select(
+            (-(F.col("doc_id") * 4 + 1)).alias("doc_id"), "text", "lang"
+        )
+        ws = train.filter(F.col("doc_id") % 13 == 0).select(
+            (-(F.col("doc_id") * 4 + 3)).alias("doc_id"),
+            F.replace(F.col("text"), F.lit(" "), F.lit("  ")).alias(
+                "text"
+            ),
+            "lang",
+        )
+        empties = spark.createDataFrame(
+            [(-4, None, "en"), (-8, "", "de")],
+            "doc_id long, text string, lang string",
+        )
+        corpus = train.unionByName(copies).unionByName(ws).unionByName(
+            empties
+        )
+        return curation_funnel(
+            corpus, ev, targets={"en": 0.4, "de": 0.3, "fr": 0.3}
+        )
+
     def q_dsir_weights(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.sampling import (
             dsir_importance_weights,
@@ -769,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
         "dsir_weights": q_dsir_weights,
+        "curation_funnel": q_curation_funnel,
         "sequence_packing": q_sequence_packing,
         "token_freq_quality": q_token_freq_quality,
         "quality_buckets": q_quality_buckets,
@@ -1506,6 +1539,121 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         "stratified_sample": _stratified_sample_sql(),
+        "curation_funnel": f"""
+            -- plans/curation.curation_funnel over the train split with
+            -- planted variants (negative ids) so every stage fires:
+            -- quality -> exact dedup -> decontamination -> mixture.
+            WITH tr AS (
+              SELECT doc_id, text, lang FROM documents
+              WHERE doc_id % 10 <> 0
+            ), corpus AS (
+              SELECT doc_id, text, lang FROM tr
+              UNION ALL
+              SELECT -(doc_id * 4 + 1) AS doc_id, text, lang
+              FROM tr WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT -(doc_id * 4 + 3) AS doc_id,
+                     replace(text, ' ', '  ') AS text, lang
+              FROM tr WHERE doc_id % 13 = 0
+              UNION ALL
+              SELECT * FROM (VALUES (-4::BIGINT, NULL::VARCHAR, 'en'),
+                                    (-8::BIGINT, '', 'de'))
+                           v(doc_id, text, lang)
+            ), stats AS (
+              SELECT doc_id, lang, text,
+                     coalesce(length(text), 0)::BIGINT AS len,
+                     coalesce(len({_TOKS}), 0)::BIGINT AS n_tokens,
+                     coalesce(list_sum(list_transform({_TOKS},
+                              x -> length(x))), 0)::BIGINT AS ttl
+              FROM corpus
+            ), q AS (
+              SELECT *,
+                     n_tokens >= 20 AND n_tokens <= 90
+                     AND ttl * 10 >= 30 * n_tokens
+                     AND ttl * 10 <= 100 * n_tokens AS q_keep
+              FROM stats
+            ), keepers AS (
+              SELECT {_NORM} AS nk, min(doc_id) AS keeper
+              FROM q WHERE q_keep GROUP BY 1
+            ), evg AS (
+              SELECT DISTINCT md5(array_to_string(t[i:i+3], ' '))
+                       AS gram_key
+              FROM (SELECT {_TOKS} AS t FROM documents
+                    WHERE doc_id % 10 = 0) e,
+                   LATERAL (SELECT unnest(generate_series(1, len(t) - 3))
+                            AS i) g
+              WHERE len(t) >= 4
+            ), cont AS (
+              SELECT doc_id, count(*) > 0 AS contaminated
+              FROM (SELECT doc_id,
+                           md5(array_to_string(t[i:i+3], ' ')) AS gram_key
+                    FROM (SELECT doc_id, {_TOKS} AS t FROM corpus) ct,
+                         LATERAL (SELECT unnest(
+                                  generate_series(1, len(t) - 3)) AS i) g
+                    WHERE len(t) >= 4) tg
+              WHERE gram_key IN (SELECT gram_key FROM evg)
+              GROUP BY doc_id
+            ), flagged AS (
+              SELECT q.doc_id, q.lang, q.len, q.q_keep, k.keeper,
+                     coalesce(c.contaminated, false) AS contaminated
+              FROM q
+              LEFT JOIN keepers k ON {_norm_expr('q.text')} = k.nk
+              LEFT JOIN cont c USING (doc_id)
+            ), s3 AS (
+              SELECT lang FROM flagged
+              WHERE q_keep AND doc_id = keeper AND NOT contaminated
+            ), counts AS (
+              SELECT lang, count(*)::DOUBLE AS c FROM s3 GROUP BY lang
+            ), t2 AS (
+              SELECT lang, c,
+                     CASE lang WHEN 'de' THEN 0.3 WHEN 'en' THEN 0.4
+                               WHEN 'fr' THEN 0.3 END AS share
+              FROM counts WHERE lang IN ('de', 'en', 'fr')
+            ), m AS (
+              SELECT lang, c, share, min(c / share) OVER () AS n_out
+              FROM t2
+            ), r AS (
+              SELECT lang,
+                     CASE WHEN c / share = n_out
+                          THEN 1152921504606846976
+                          ELSE CAST(floor(least(1.0, share * n_out / c)
+                                    * 1152921504606846976.0) AS BIGINT)
+                     END AS thr
+              FROM m
+            ), att AS (
+              SELECT f.len,
+                     CASE WHEN NOT f.q_keep THEN 0
+                          WHEN f.doc_id <> f.keeper THEN 1
+                          WHEN f.contaminated THEN 2
+                          WHEN NOT (r.thr IS NOT NULL AND
+                               ('0x' || substr(md5('mixr:' ||
+                                CAST(f.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                               < r.thr) THEN 3
+                          ELSE 4 END AS survived
+              FROM flagged f LEFT JOIN r USING (lang)
+            ), agg AS (
+              SELECT count(*)::BIGINT AS n0,
+                     coalesce(sum(CASE WHEN survived >= 1 THEN 1 END), 0)::BIGINT AS n1,
+                     coalesce(sum(CASE WHEN survived >= 1 THEN len ELSE 0 END), 0)::BIGINT AS c1,
+                     coalesce(sum(CASE WHEN survived >= 2 THEN 1 END), 0)::BIGINT AS n2,
+                     coalesce(sum(CASE WHEN survived >= 2 THEN len ELSE 0 END), 0)::BIGINT AS c2,
+                     coalesce(sum(CASE WHEN survived >= 3 THEN 1 END), 0)::BIGINT AS n3,
+                     coalesce(sum(CASE WHEN survived >= 3 THEN len ELSE 0 END), 0)::BIGINT AS c3,
+                     coalesce(sum(CASE WHEN survived >= 4 THEN 1 END), 0)::BIGINT AS n4,
+                     coalesce(sum(CASE WHEN survived >= 4 THEN len ELSE 0 END), 0)::BIGINT AS c4
+              FROM att
+            )
+            SELECT 1::BIGINT AS stage_idx, 'quality' AS stage,
+                   n0 AS docs_in, n1 AS docs_out, n0 - n1 AS docs_dropped,
+                   c1 AS chars_out FROM agg
+            UNION ALL
+            SELECT 2::BIGINT, 'exact_dedup', n1, n2, n1 - n2, c2 FROM agg
+            UNION ALL
+            SELECT 3::BIGINT, 'decontamination', n2, n3, n2 - n3, c3
+            FROM agg
+            UNION ALL
+            SELECT 4::BIGINT, 'mixture', n3, n4, n3 - n4, c4 FROM agg
+        """,
         "dsir_weights": """
             -- DSIR hashed-n-gram importance weights: p = English subset,
             -- q = whole corpus, add-one smoothing over 4096 buckets.

@@ -138,6 +138,22 @@ def mixture_sample(
     is the same map-only hash-threshold as ``deterministic_sample``,
     with the threshold materialized as floor(rate * 2^60) compared
     against a 60-bit hash draw."""
+    return df.join(
+        F.broadcast(mixture_thresholds(df, targets, stratum_col)),
+        stratum_col,
+    ).filter(hash60(F.col(key_col), salt) < F.col("__thr")).drop("__thr")
+
+
+def mixture_thresholds(
+    df: DataFrame,
+    targets: dict[str, float],
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """The per-stratum 60-bit keep thresholds behind ``mixture_sample``:
+    (stratum, __thr) with one row per target stratum present in ``df``.
+    Split out so composite plans (plans/curation.curation_funnel) can
+    FLAG rows against the thresholds instead of filtering — same
+    derivation, same broadcastable few-row output."""
     bad = {k: v for k, v in targets.items() if not 0.0 < v <= 1.0}
     if bad:
         raise ValueError(f"target shares must be in (0, 1]: {bad}")
@@ -182,9 +198,7 @@ def mixture_sample(
         )
         .alias("__thr"),
     )
-    return df.join(F.broadcast(rates), stratum_col).filter(
-        hash60(F.col(key_col), salt) < F.col("__thr")
-    ).drop("__thr")
+    return rates
 
 
 def _hashed_ngrams(text: Column, n_buckets: int, salt: str) -> Column:

@@ -203,6 +203,13 @@ def test_repetition_stats_oracle(spark, subset_dir, duck):
     _assert_parity(df, duck, e.oracle_sql()["repetition_stats"])
 
 
+def test_curation_funnel_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+
+    df = e.queries()["curation_funnel"](spark, subset_dir)
+    _assert_parity(df, duck, e.oracle_sql()["curation_funnel"])
+
+
 def test_dsir_weights_oracle(spark, subset_dir, duck):
     import __spark_entry__ as e
 
