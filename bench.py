@@ -149,6 +149,10 @@ def main() -> None:
         "cross_corpus_novel",
         # CCNet head/middle/tail percentile cut per language
         "quality_buckets",
+        # DSIR hashed-n-gram importance weights (target=en vs corpus)
+        "dsir_weights",
+        # end-to-end curation: quality -> dedup -> decontam -> mixture
+        "curation_funnel",
     ]
     for name in headline:
         fn = qs[name]

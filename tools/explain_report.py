@@ -54,6 +54,8 @@ HEADLINE = [
     "dedup_tier_stats",
     "embedding_dedup_tiers",
     "cross_corpus_novel",
+    "dsir_weights",
+    "curation_funnel",
 ]
 
 
