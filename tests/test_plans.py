@@ -183,3 +183,33 @@ def test_cluster_representatives_no_sha_sort(spark, queries):
 def test_dup_size_histogram_two_aggregates_no_join(spark, queries):
     plan = plan_of(queries["dup_size_histogram"](spark, SF))
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_dsir_weights_plan_shape(spark, queries):
+    """DSIR: bucket histograms and the log-ratio table must come back as
+    broadcasts (their size is bounded by n_buckets, never data-sized),
+    the per-doc weight is a hash aggregate. The only Window allowed is
+    the partition-less totals window over the <= n_buckets histogram
+    rows (the mixture_thresholds pattern) — data-sized joins must all be
+    hash-based, never sort-merge (a SortMergeJoin here would mean the
+    broadcast of the bounded ratio table was lost)."""
+    plan = plan_of(queries["dsir_weights"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_funnel_plan_shape(spark, queries):
+    """The funnel must stay a conditional-aggregate pivot: one stack()
+    generate over a single global hash-agg row, mixture thresholds
+    broadcast back (their derivation's partition-less window runs over
+    <= n_strata rows, not data), and no cartesian anywhere (the naive
+    formulation — one count() job per stage — would show up here as
+    missing stack/agg structure)."""
+    plan = plan_of(queries["curation_funnel"](spark, SF))
+    assert "stack(4" in plan
+    assert "CartesianProduct" not in plan
+    # the per-stage counters partial-aggregate map-side before the
+    # single-row final agg
+    assert "partial_count" in plan or "partial_sum" in plan
