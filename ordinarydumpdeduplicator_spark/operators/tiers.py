@@ -267,6 +267,95 @@ def image_tier_report(clusters: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
+# Which modality's detector produced each edge kind. "file" is its own
+# family: byte-identical containers prove BOTH payloads equal at once.
+MODALITY_OF_KIND = {
+    "exact": "file",
+    "pixel_exact": "image",
+    "phash_exact": "image",
+    "image_near": "image",
+    "caption_exact": "caption",
+    "caption_near": "caption",
+}
+
+
+def modality_agreement(clusters: DataFrame, edges: DataFrame) -> DataFrame:
+    """Cross-modality dedup audit for the image+caption pipeline:
+    (image_id, cluster_id, has_file, has_image, has_caption, agreement)
+    where the flags say which evidence families have at least one edge
+    incident to the image, and ``agreement`` is the verdict a corpus
+    auditor acts on:
+
+      - 'file'          byte-identical container evidence (implies both)
+      - 'both'          independent image AND caption evidence — the
+                        high-confidence near-dup
+      - 'image_only'    pixels match but captions don't — recaptioned
+                        copies (dedup keeps one caption arbitrarily;
+                        flag for caption reconciliation)
+      - 'caption_only'  captions match but pixels don't — suspicious:
+                        mislabeled pairs or stock-caption spam; the rows
+                        a human reviews before trusting the cluster
+      - 'unique'        not in any dup group
+      - 'other'         only unknown/future edge kinds touch the image
+
+    Scale shape: identical to image_tier_report — the edge frame (dup-
+    volume-bounded, orders of magnitude under the corpus) is exploded
+    to both endpoints, three boolean max-aggregates partial-combine
+    map-side, and the corpus side is a left equi-join on image_id that
+    AQE broadcasts when the dup set is small. No windows, no Python.
+
+    Reference analogue: none (the reference has one evidence kind —
+    byte hash); beyond-reference multimodal surface, SURVEY §2.12."""
+    fam = F.create_map(
+        *[F.lit(x) for kv in MODALITY_OF_KIND.items() for x in kv]
+    )[F.col("kind")]
+    halves = edges.select(
+        F.col("src").alias("image_id"), fam.alias("fam")
+    ).unionByName(
+        edges.select(F.col("dst").alias("image_id"), fam.alias("fam"))
+    )
+    touched = halves.groupBy("image_id").agg(
+        F.max(F.col("fam") == "file").alias("has_file"),
+        F.max(F.col("fam") == "image").alias("has_image"),
+        F.max(F.col("fam") == "caption").alias("has_caption"),
+    )
+    agreement = (
+        F.when(~F.col("is_dup"), F.lit("unique"))
+        .when(F.coalesce("has_file", F.lit(False)), F.lit("file"))
+        .when(
+            F.coalesce("has_image", F.lit(False))
+            & F.coalesce("has_caption", F.lit(False)),
+            F.lit("both"),
+        )
+        .when(F.coalesce("has_image", F.lit(False)), F.lit("image_only"))
+        .when(
+            F.coalesce("has_caption", F.lit(False)), F.lit("caption_only")
+        )
+        .otherwise(F.lit("other"))
+    )
+    return clusters.join(touched, "image_id", "left").select(
+        "image_id",
+        "cluster_id",
+        F.coalesce("has_file", F.lit(False)).alias("has_file"),
+        F.coalesce("has_image", F.lit(False)).alias("has_image"),
+        F.coalesce("has_caption", F.lit(False)).alias("has_caption"),
+        agreement.alias("agreement"),
+    )
+
+
+def modality_agreement_stats(
+    clusters: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """The auditor's one-screen rollup: (agreement, n_images) — how much
+    of the dup volume rests on file, cross-modal, or single-modality
+    evidence. One hash-aggregate over modality_agreement."""
+    return (
+        modality_agreement(clusters, edges)
+        .groupBy("agreement")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+
+
 def dedup_tier_stats(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -297,13 +297,14 @@ class NearDupPipeline:
         assign = self.components(edges)
         clusters = self.clusters(feats, assign)
         self.write_metrics()
-        from ..operators.tiers import image_tier_report
+        from ..operators.tiers import image_tier_report, modality_agreement
 
         return dict(
             features=feats,
             edges=edges,
             assignments=assign,
             clusters=clusters,
-            # lazy — only computed if the caller pulls it
+            # lazy — only computed if the caller pulls them
             tier_report=image_tier_report(clusters, edges),
+            modality_report=modality_agreement(clusters, edges),
         )

@@ -268,3 +268,30 @@ def test_clusters_join_broadcasts_small_assignment(spark, tiny_images):
     joined_plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in joined_plan
     assert "SortMergeJoin" not in joined_plan
+
+
+def test_modality_report_pipeline_output(small_corpus, pipeline_result):
+    """The shipped modality_report: one row per assigned image, verdicts
+    from the allowed set, consistent with is_dup, and planted
+    byte-identical pairs audited as 'file' evidence."""
+    rows = pipeline_result["modality_report"].collect()
+    assert len(rows) == pipeline_result["clusters"].count()
+    allowed = {"file", "both", "image_only", "caption_only", "unique",
+               "other"}
+    assert {r.agreement for r in rows} <= allowed
+    verdict = {r.image_id: r.agreement for r in rows}
+    sizes: dict = {}
+    for r in rows:
+        sizes[r.cluster_id] = sizes.get(r.cluster_id, 0) + 1
+    for r in rows:
+        if sizes[r.cluster_id] == 1:
+            assert r.agreement == "unique", r
+        else:
+            assert r.agreement != "unique", r
+    pdf, golden = small_corpus
+    for g in golden[golden.kind == "exact"].itertuples():
+        for side in (g.image_id_a, g.image_id_b):
+            if side in verdict:
+                # byte-identical evidence may be shadowed only by a
+                # stronger family, and 'file' IS the strongest
+                assert verdict[side] == "file", (side, verdict[side])

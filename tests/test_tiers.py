@@ -235,3 +235,77 @@ def test_no_sort_on_content_keys(spark, docs):
     for line in plan.splitlines():
         if "Sort " in line and ("raw_sha" in line or "norm_sha" in line):
             raise AssertionError(f"sort on content key: {line}")
+
+
+def test_modality_agreement_hand_case(spark):
+    from ordinarydumpdeduplicator_spark.operators.tiers import (
+        modality_agreement,
+        modality_agreement_stats,
+    )
+
+    clusters = spark.createDataFrame(
+        [
+            ("a", "a", True), ("b", "a", True),   # byte-identical pair
+            ("c", "c", True), ("d", "c", True),   # image AND caption evidence
+            ("e", "e", True), ("f", "e", True),   # image evidence only
+            ("g", "g", True), ("h", "g", True),   # caption evidence only
+            ("i", "i", False),                     # singleton
+            ("j", "j", True), ("k", "j", True),   # unknown kind only
+        ],
+        "image_id string, cluster_id string, is_dup boolean",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", "exact"),
+            ("c", "d", "image_near"), ("c", "d", "caption_near"),
+            ("e", "f", "pixel_exact"),
+            ("g", "h", "caption_exact"),
+            ("j", "k", "future_kind"),
+        ],
+        "src string, dst string, kind string",
+    )
+    rows = {
+        r.image_id: r.agreement
+        for r in modality_agreement(clusters, edges).collect()
+    }
+    assert rows == {
+        "a": "file", "b": "file",
+        "c": "both", "d": "both",
+        "e": "image_only", "f": "image_only",
+        "g": "caption_only", "h": "caption_only",
+        "i": "unique",
+        "j": "other", "k": "other",
+    }
+    stats = {
+        r.agreement: r.n_images
+        for r in modality_agreement_stats(clusters, edges).collect()
+    }
+    assert stats == {
+        "file": 2, "both": 2, "image_only": 2, "caption_only": 2,
+        "unique": 1, "other": 2,
+    }
+
+
+def test_modality_agreement_mixed_known_unknown_and_file_precedence(spark):
+    from ordinarydumpdeduplicator_spark.operators.tiers import (
+        modality_agreement,
+    )
+
+    clusters = spark.createDataFrame(
+        [("a", "a", True), ("b", "a", True)],
+        "image_id string, cluster_id string, is_dup boolean",
+    )
+    # file evidence outranks both-modality evidence; unknown kinds are
+    # ignored when any known family is present
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", "exact"),
+            ("a", "b", "image_near"),
+            ("a", "b", "caption_near"),
+            ("a", "b", "mystery"),
+        ],
+        "src string, dst string, kind string",
+    )
+    out = {r.image_id: r for r in modality_agreement(clusters, edges).collect()}
+    assert out["a"].agreement == "file"
+    assert out["a"].has_image and out["a"].has_caption and out["a"].has_file
