@@ -734,6 +734,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return line_dedup(_paged_docs(spark, sf))
 
+    def q_c4_clean(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.line_dedup import (
+            c4_line_filter,
+        )
+
+        d = _docs(spark, sf)
+        # synthesize C4-shaped pages: nav/cookie banner (bad phrase),
+        # the body sentence (kept), a too-short line, a rights footer
+        # (bad phrase, no terminal punct), and a doc-level drop marker
+        # on every 17th page
+        marker = F.when(
+            F.col("doc_id") % 17 == 0, F.lit("\nlorem ipsum {")
+        ).otherwise(F.lit(""))
+        page = F.concat(
+            F.lit(
+                "Please enable JavaScript and accept our cookie policy\n"
+            ),
+            F.col("text"),
+            F.lit(".\nshort line.\n© 2024 example.com all rights reserved"),
+            marker,
+        )
+        return c4_line_filter(d.select("doc_id", page.alias("text")))
+
     def q_pii_scrub(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.pii import pii_scrub
 
@@ -761,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dup_stats": q_line_dup_stats,
         "line_dedup_clean": q_line_dedup_clean,
         "pii_scrub": q_pii_scrub,
+        "c4_clean": q_c4_clean,
         "tfidf_keywords": q_tfidf_keywords,
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "near_dup_text_pairs": q_near_dup_text_pairs,
@@ -1539,6 +1563,49 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         "stratified_sample": _stratified_sample_sql(),
+        "c4_clean": """
+            -- line_dedup.c4_line_filter over the synthesized C4 pages:
+            -- per-line terminal-punct / min-words / bad-phrase rules,
+            -- doc-level lorem-ipsum/brace markers.
+            WITH pages AS (
+              SELECT doc_id,
+                     'Please enable JavaScript and accept our cookie policy'
+                     || chr(10) || text || '.' || chr(10)
+                     || 'short line.' || chr(10)
+                     || '© 2024 example.com all rights reserved'
+                     || CASE WHEN doc_id % 17 = 0
+                             THEN chr(10) || 'lorem ipsum {'
+                             ELSE '' END AS text
+              FROM documents
+            ), f AS (
+              SELECT doc_id, text,
+                     string_split(text, chr(10)) AS lines,
+                     list_filter(string_split(text, chr(10)), x ->
+                         regexp_matches(x, '[.!?"]\\s*$')
+                         AND len(list_filter(
+                               string_split_regex(trim(x), '\\s+'),
+                               w -> w <> '')) >= 3
+                         AND NOT contains(lower(x), 'javascript')
+                         AND NOT contains(lower(x), 'cookie policy')
+                         AND NOT contains(lower(x), 'all rights reserved')
+                     ) AS kept
+              FROM pages
+            ), g AS (
+              SELECT doc_id,
+                     coalesce(len(lines), 0)::BIGINT AS n_lines,
+                     coalesce(len(kept), 0)::BIGINT AS n_kept,
+                     (text IS NOT NULL
+                      AND NOT contains(lower(text), 'lorem ipsum')
+                      AND NOT contains(lower(text), '{')
+                      AND coalesce(len(kept), 0) >= 1) AS doc_keep,
+                     kept
+              FROM f
+            )
+            SELECT doc_id, n_lines, n_kept, doc_keep,
+                   CASE WHEN doc_keep
+                        THEN array_to_string(kept, chr(10)) END AS clean_text
+            FROM g
+        """,
         "curation_funnel": f"""
             -- plans/curation.curation_funnel over the train split with
             -- planted variants (negative ids) so every stage fires:

@@ -153,6 +153,8 @@ def main() -> None:
         "dsir_weights",
         # end-to-end curation: quality -> dedup -> decontam -> mixture
         "curation_funnel",
+        # C4 line-filter recipe over synthesized pages
+        "c4_clean",
     ]
     for name in headline:
         fn = qs[name]

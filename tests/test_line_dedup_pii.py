@@ -136,3 +136,51 @@ def test_pii_scrub_composes_with_streams(spark, tmp_path):
     assert got[1]["clean_text"] == "mail <EMAIL> now"
     assert got[1]["n_emails"] == 1 and got[1]["has_pii"] is True
     assert got[2]["has_pii"] is False
+
+
+# ------------------------------------------------------------- C4 cleaning
+
+
+def test_c4_line_filter_hand_case(spark):
+    from ordinarydumpdeduplicator_spark.operators.line_dedup import (
+        c4_line_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # kept body + dropped banner/short/footer lines
+            (1, "Enable JavaScript to continue\n"
+                "the quick brown fox jumps over the lazy dog.\n"
+                "too short.\n"
+                "all rights reserved"),
+            (2, "lorem ipsum dolor sit amet plenty of words here."),  # doc drop
+            (3, "some code { body }\nthe quick brown fox jumps again."),  # doc drop
+            (4, None),  # NULL text
+            (5, "no terminal punctuation at all on this long line"),  # no keeps
+            (6, 'He said "stop right there my good friend."\nSecond proper line here!'),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in c4_line_filter(docs).collect()}
+    assert (rows[1].n_lines, rows[1].n_kept, rows[1].doc_keep) == (4, 1, True)
+    assert rows[1].clean_text == "the quick brown fox jumps over the lazy dog."
+    assert not rows[2].doc_keep and rows[2].clean_text is None  # lorem ipsum
+    assert not rows[3].doc_keep and rows[3].n_kept == 1  # '{' marker wins
+    assert (rows[4].n_lines, rows[4].n_kept, rows[4].doc_keep,
+            rows[4].clean_text) == (0, 0, False, None)
+    assert not rows[5].doc_keep and rows[5].n_kept == 0
+    assert rows[6].doc_keep and rows[6].n_kept == 2
+    assert rows[6].clean_text.count("\n") == 1
+
+
+def test_c4_line_filter_min_kept_lines_knob(spark):
+    from ordinarydumpdeduplicator_spark.operators.line_dedup import (
+        c4_line_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "only one proper sentence lives here.")],
+        "doc_id long, text string",
+    )
+    assert c4_line_filter(docs).collect()[0].doc_keep
+    assert not c4_line_filter(docs, min_kept_lines=5).collect()[0].doc_keep

@@ -203,6 +203,15 @@ def test_repetition_stats_oracle(spark, subset_dir, duck):
     _assert_parity(df, duck, e.oracle_sql()["repetition_stats"])
 
 
+def test_c4_clean_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+
+    df = e.queries()["c4_clean"](spark, subset_dir)
+    assert df.where("NOT doc_keep").count() > 0, "no doc-level drops"
+    assert df.where("doc_keep").count() > 0, "every doc dropped"
+    _assert_parity(df, duck, e.oracle_sql()["c4_clean"])
+
+
 def test_curation_funnel_oracle(spark, subset_dir, duck):
     import __spark_entry__ as e
 
