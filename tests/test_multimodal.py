@@ -91,3 +91,79 @@ def test_video_frames_compose_with_image_ops(spark):
     )
     decoded = decode_images(as_images)
     assert decoded.filter(F.col("status") == "ok").count() == 6
+
+
+# ------------------------------------------------------ image quality filter
+
+
+def test_image_quality_filter_hand_case(spark):
+    from ordinarydumpdeduplicator_spark.operators.features import (
+        image_quality_filter,
+    )
+
+    rows = [
+        # image_id, status, w, h, gray_std, caption_sha
+        ("good", "ok", 256, 192, 40.0, "c1"),
+        ("broken", "error", None, None, None, "c2"),
+        ("tiny", "ok", 32, 60, 40.0, "c3"),
+        ("banner", "ok", 900, 100, 40.0, "c4"),
+        ("blank", "ok", 256, 192, 0.5, "c5"),
+        ("nocap", "ok", 256, 192, 40.0, None),
+        ("all_bad", "ok", 10, 300, 0.1, None),
+    ]
+    feats = spark.createDataFrame(
+        rows,
+        "image_id string, status string, w_actual int, h_actual int, "
+        "gray_std double, caption_sha string",
+    )
+    out = {r.image_id: r for r in image_quality_filter(feats).collect()}
+    assert out["good"].keep and out["good"].reasons == []
+    assert out["broken"].reasons == ["unreadable"]
+    assert out["tiny"].reasons == ["too_small"]
+    assert out["banner"].reasons == ["extreme_aspect"]
+    assert out["blank"].reasons == ["near_constant"]
+    assert out["nocap"].reasons == ["no_caption"]
+    # fixed rule order, all firing
+    assert out["all_bad"].reasons == [
+        "too_small", "extreme_aspect", "near_constant", "no_caption"
+    ]
+    assert not any(
+        out[k].keep for k in out if k != "good"
+    )
+
+
+def test_image_quality_filter_on_extracted_features(spark):
+    """Integration: the verdict over REAL extract_features output — broken
+    payloads (planted garbage bytes) come out unreadable, planted good
+    images keep."""
+    from ordinarydumpdeduplicator_spark.fixtures.generator import (
+        IMAGE_COLS,
+        make_corpus,
+    )
+    from ordinarydumpdeduplicator_spark.operators.features import (
+        extract_features,
+        image_quality_filter,
+    )
+    from ordinarydumpdeduplicator_spark.schemas import IMAGES_SCHEMA
+
+    pdf, _ = make_corpus(300)
+    images = spark.createDataFrame(pdf[IMAGE_COLS], schema=IMAGES_SCHEMA)
+    feats = extract_features(images)
+    # min_side sized to the 32x24 test corpus (the 64px default is tuned
+    # for the 256x192 bench payloads)
+    verdict = image_quality_filter(feats, min_side=16)
+    # the generator plants 'unreadable' (garbage payload) rows — each must
+    # carry the unreadable reason; readable rows must never carry it
+    n_planted = int((pdf._class == "unreadable").sum())
+    assert n_planted > 0
+    bad_ids = {
+        r.image_id
+        for r in verdict.filter(
+            F.array_contains("reasons", "unreadable")
+        ).collect()
+    }
+    planted_ids = set(pdf[pdf._class == "unreadable"].image_id)
+    assert planted_ids <= bad_ids
+    kept = verdict.filter("keep").count()
+    assert 0 < kept < len(pdf)
+    assert verdict.count() == len(pdf)
