@@ -58,6 +58,20 @@ BLOOMS_SCHEMA = (
 )
 
 
+def load_ingest_metrics(
+    spark: SparkSession, state_dir: str
+) -> DataFrame | None:
+    """Committed per-batch accounting rows (batch_id, n_in, n_null_key,
+    n_batch_dup, n_history_dup, n_new) — invariant per batch:
+    n_in == n_null_key + n_batch_dup + n_history_dup + n_new
+    (every arriving row is attributed to exactly one outcome; NULL-text
+    rows pass through as their own bucket, never deduplicable)."""
+    epochs = _committed_epochs(os.path.join(state_dir, "metrics"))
+    if not epochs:
+        return None
+    return spark.read.parquet(*[p for _, p in epochs])
+
+
 def load_new_docs(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """All rows ever emitted as new, across committed epochs."""
     epochs = _committed_epochs(os.path.join(state_dir, "new"))
@@ -83,6 +97,7 @@ def stream_ingest_dedup(
     new_path = os.path.join(state_dir, "new")
     keys_path = os.path.join(state_dir, "keys")
     blooms_path = os.path.join(state_dir, "blooms")
+    metrics_path = os.path.join(state_dir, "metrics")
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -160,6 +175,41 @@ def stream_ingest_dedup(
             # writes cannot disagree with it); shard comes from the
             # persisted flags — no re-hash
             written = s.read.parquet(os.path.join(new_path, epoch))
+            # per-batch accounting (the streaming analogue of the
+            # curation funnel's per-stage counters; north rule's metrics
+            # tables). ONE aggregate over the keyed batch derives the
+            # within-batch funnel; n_new reads the already-written
+            # output. Epoch-keyed overwrite like every other state dir,
+            # so a crash replay heals its own metrics row too.
+            stats = keyed.agg(
+                F.count(F.lit(1)).alias("n_in"),
+                F.count("content_sha").alias("n_nonnull"),
+                F.countDistinct("content_sha").alias("n_distinct"),
+            ).collect()[0]
+            n_null = stats.n_in - stats.n_nonnull
+            n_batch_first = stats.n_distinct + n_null
+            w_stats = written.agg(
+                F.count(F.lit(1)).alias("n_total"),
+                F.count("content_sha").alias("n_nonnull"),
+            ).collect()[0]
+            # disjoint buckets — every arriving row lands in exactly one:
+            # NULL-key passthrough, within-batch dup, history dup, or new
+            s.createDataFrame(
+                [
+                    (
+                        int(batch_id),
+                        int(stats.n_in),
+                        int(n_null),
+                        int(stats.n_nonnull - stats.n_distinct),
+                        int(n_batch_first - w_stats.n_total),
+                        int(w_stats.n_nonnull),
+                    )
+                ],
+                "batch_id long, n_in long, n_null_key long, "
+                "n_batch_dup long, n_history_dup long, n_new long",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(metrics_path, epoch)
+            )
             new_keys = (
                 written.select("content_sha")
                 .filter(F.col("content_sha").isNotNull())

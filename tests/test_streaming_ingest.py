@@ -113,3 +113,41 @@ def test_stream_ingest_replay_heals(spark, tmp_path):
     got3 = sorted(r.doc_id for r in load_new_docs(spark, state).collect())
     # keys t0..t19 already known; t20..t29 are new (first holder: 220+i)
     assert got3 == want + [220 + i for i in range(10)]
+
+
+def test_stream_ingest_metrics_accounting(spark, tmp_path):
+    from ordinarydumpdeduplicator_spark.streaming.ingest_dedup import (
+        load_ingest_metrics,
+    )
+
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    os.makedirs(inp, exist_ok=True)
+
+    # wave 1: 10 distinct keys x2 copies each + 1 NULL
+    wave1 = [(i, f"k {i % 10}") for i in range(20)] + [(900, None)]
+    # wave 2: 5 history dups, 5 new keys (x2 copies), 1 NULL
+    wave2 = [(100 + i, f"k {5 + (i % 10)}") for i in range(20)] + [
+        (901, None)
+    ]
+    _write_wave(spark, inp, wave1)
+    _run_once(spark, inp, state, ck)
+    _write_wave(spark, inp, wave2)
+    _run_once(spark, inp, state, ck)
+
+    m = {r.batch_id: r for r in load_ingest_metrics(spark, state).collect()}
+    assert set(m) == {0, 1}
+    r0, r1 = m[0], m[1]
+    assert (r0.n_in, r0.n_null_key, r0.n_batch_dup, r0.n_history_dup,
+            r0.n_new) == (21, 1, 10, 0, 10)
+    # wave 2: 20 text rows over keys 5..14 (2 copies each) + NULL;
+    # keys 5..9 are history dups, keys 10..14 are new
+    assert (r1.n_in, r1.n_null_key, r1.n_batch_dup, r1.n_history_dup,
+            r1.n_new) == (21, 1, 10, 5, 5)
+    for r in m.values():
+        assert r.n_in == r.n_null_key + r.n_batch_dup + r.n_history_dup + r.n_new
+    # accounting must agree with the shipped corpus (new + NULL
+    # passthrough rows are what load_new_docs returns)
+    total = sum(r.n_new + r.n_null_key for r in m.values())
+    assert total == load_new_docs(spark, state).count()

@@ -56,6 +56,7 @@ HEADLINE = [
     "cross_corpus_novel",
     "dsir_weights",
     "curation_funnel",
+    "c4_clean",
 ]
 
 
