@@ -192,6 +192,10 @@ def c4_line_filter(
     per-line predicate family mirrors the reference's per-file
     readability filters (P2/P3, FileInfo readability checks).
     """
+    # matching is against the LOWERED line/text — normalize the phrase
+    # lists so a caller's mixed-case phrase can't silently never match
+    bad_phrases = tuple(p.lower() for p in bad_phrases)
+    drop_doc_markers = tuple(m.lower() for m in drop_doc_markers)
     text = F.col(text_col)
     lines = F.split(text, "\n")
 
