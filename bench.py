@@ -28,7 +28,9 @@ def _time(fn) -> float:
     return round(time.time() - t0, 3)
 
 
-def bench_images_pipeline(spark, n: int, data_dir: str) -> tuple[float, int]:
+def bench_images_pipeline(
+    spark, n: int, data_dir: str
+) -> tuple[float, float, int]:
     """Time the full near-dup image pipeline over a pre-materialized corpus."""
     from ordinarydumpdeduplicator_spark.fixtures.generator import spark_images_df
     from ordinarydumpdeduplicator_spark.plans.pipeline import (
