@@ -694,6 +694,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(empties)
         )
 
+    def q_tier_drift(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.tiers import (
+            dedup_tiers,
+            tier_drift,
+        )
+
+        # snapshot BEFORE vs AFTER the planted-variant ingest wave: the
+        # wave demotes originals into exact/normalized tiers and arrives
+        # as absent->tier mass
+        prev = dedup_tiers(_docs(spark, sf).select("doc_id", "text"))
+        cur = dedup_tiers(_aug_docs(spark, sf))
+        return tier_drift(prev, cur)
+
     def q_embedding_dedup_tiers(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.tiers import (
             embedding_dedup_tiers,
@@ -780,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_tiers": q_dedup_tiers,
         "dedup_tier_stats": q_dedup_tier_stats,
         "embedding_dedup_tiers": q_embedding_dedup_tiers,
+        "tier_drift": q_tier_drift,
         "user_sessions": q_user_sessions,
         "line_dup_stats": q_line_dup_stats,
         "line_dedup_clean": q_line_dedup_clean,
@@ -1351,6 +1365,18 @@ def oracle_sql() -> dict[str, str]:
         "cross_corpus_novel": osql.cross_corpus_novel_sql(),
         "dedup_tiers": osql.dedup_tiers_sql(augmented=True),
         "dedup_tier_stats": osql.dedup_tier_stats_sql(augmented=True),
+        "tier_drift": f"""
+            -- tiers.tier_drift: full-outer diff of the cascade before
+            -- vs after the planted-variant wave; each side is the full
+            -- dedup_tiers oracle (recursive min-label closure inside).
+            WITH prev AS ({osql.dedup_tiers_sql(augmented=False)}),
+            cur AS ({osql.dedup_tiers_sql(augmented=True)})
+            SELECT coalesce(p.tier, 'absent') AS tier_from,
+                   coalesce(c.tier, 'absent') AS tier_to,
+                   count(*)::BIGINT AS n_docs
+            FROM prev p FULL OUTER JOIN cur c USING (doc_id)
+            GROUP BY 1, 2
+        """,
         "embedding_dedup_tiers": osql.embedding_dedup_tiers_sql(
             dim=64, augmented=True
         ),

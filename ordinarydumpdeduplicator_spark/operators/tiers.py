@@ -214,6 +214,42 @@ def embedding_dedup_tiers(
     )
 
 
+def tier_drift(
+    prev: DataFrame, cur: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Tier-transition matrix between two cascade snapshots:
+    (tier_from, tier_to, n_docs) — how an ingest wave moved documents
+    between dedup tiers. Documents present in only one snapshot appear
+    as 'absent' on the other axis (new arrivals / removals), so the
+    matrix accounts for every id in the union: a wave of exact copies
+    shows up as unique->exact mass plus absent->exact arrivals — the
+    dashboard diff a corpus operator reads after each ingest.
+
+    Scale shape: one full-outer equi-join on the id (both sides are
+    cascade OUTPUTS — skinny id/tier frames, not corpora) and a
+    <=36-cell aggregate; partial-aggregated map-side, no windows.
+
+    Reference analogue: the reference recomputes its report per scan
+    and shows only the current state (DuplicateReport.cs); the drift
+    matrix is the versioned-state diff its HierarchyAnalyzer never had
+    — same spirit as states.detect_moved (J6/O5) but at tier level."""
+    p = prev.select(
+        F.col(id_col).alias("doc_id"), F.col("tier").alias("tier_from")
+    )
+    c = cur.select(
+        F.col(id_col).alias("doc_id"), F.col("tier").alias("tier_to")
+    )
+    return (
+        p.join(c, "doc_id", "full_outer")
+        .select(
+            F.coalesce("tier_from", F.lit("absent")).alias("tier_from"),
+            F.coalesce("tier_to", F.lit("absent")).alias("tier_to"),
+        )
+        .groupBy("tier_from", "tier_to")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 # Image-pipeline edge kinds in precedence order (strongest identity first):
 # byte-identical file, identical decoded pixels, identical caption text,
 # identical pHash sketch, verified pixel near-dup, verified caption

@@ -136,6 +136,13 @@ def test_embedding_dedup_tiers_oracle(spark, subset_dir, duck):
     assert tiers == {"empty", "exact", "near", "unique"}, tiers
 
 
+def test_tier_drift_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+
+    df = e.queries()["tier_drift"](spark, subset_dir)
+    _assert_parity(df, duck, e.oracle_sql()["tier_drift"])
+
+
 def test_simhash_near_pairs_oracle(spark, subset_dir, duck):
     import __spark_entry__ as e
     from ordinarydumpdeduplicator_spark import oracles as o

@@ -309,3 +309,46 @@ def test_modality_agreement_mixed_known_unknown_and_file_precedence(spark):
     out = {r.image_id: r for r in modality_agreement(clusters, edges).collect()}
     assert out["a"].agreement == "file"
     assert out["a"].has_image and out["a"].has_caption and out["a"].has_file
+
+
+def test_tier_drift_hand_case(spark):
+    from ordinarydumpdeduplicator_spark.operators.tiers import tier_drift
+
+    prev = spark.createDataFrame(
+        [(1, "unique"), (2, "unique"), (3, "exact"), (4, "near")],
+        "doc_id long, tier string",
+    )
+    cur = spark.createDataFrame(
+        # 1 demoted by a new copy, 2 unchanged, 3 removed, 5 arrived
+        [(1, "exact"), (2, "unique"), (4, "near"), (5, "exact")],
+        "doc_id long, tier string",
+    )
+    cells = {
+        (r.tier_from, r.tier_to): r.n_docs
+        for r in tier_drift(prev, cur).collect()
+    }
+    assert cells == {
+        ("unique", "exact"): 1,
+        ("unique", "unique"): 1,
+        ("exact", "absent"): 1,
+        ("near", "near"): 1,
+        ("absent", "exact"): 1,
+    }
+    # the matrix accounts for every id in the union exactly once
+    assert sum(cells.values()) == 5
+
+
+def test_tier_drift_contract_invariants(spark):
+    import __spark_entry__ as e
+
+    rows = e.queries()["tier_drift"](spark, "/root/testdata/sf0.001").collect()
+    cells = {(r.tier_from, r.tier_to): r.n_docs for r in rows}
+    # the planted wave only ADDS documents: nothing becomes absent
+    assert not any(to == "absent" for _, to in cells)
+    # planted ids arrive (negative ids absent before)
+    assert sum(n for (f, _), n in cells.items() if f == "absent") > 0
+    # demotions happen: some previously-unique doc gained a copy
+    assert any(
+        f == "unique" and t in ("exact", "normalized") for f, t in cells
+    )
+    assert all(n > 0 for n in cells.values())
