@@ -90,3 +90,52 @@ def write_bucketed(
         # at runtime)
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def compact_stage(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a stage/parquet directory into ~``target_bytes`` files and
+    return the new file count — the small-files fix every long-running
+    ingest needs (each streaming epoch / incremental run appends a few
+    small files; a 10^12-row table read through millions of tiny files
+    spends its wall on scan tasks and footer fetches, not data).
+
+    Sizing comes from the directory's actual byte size (one driver-side
+    listing of ONE directory — metadata, not data), so the rewrite is a
+    single repartition-to-N shuffle-free coalesce when shrinking.
+    The rewrite goes to a sibling ``<path>.compacting`` directory first
+    and swaps in with two renames (old kept as ``<path>.pre_compact``
+    until the swap completes, then removed) — a reader never sees a
+    half-written directory, and a crash mid-swap leaves a recoverable
+    copy. Production analogue: Iceberg's rewrite_data_files action; the
+    file-swap protocol mirrors plans/pipeline.py's _SUCCESS-gated stage
+    writes.
+
+    Reference analogue: none (single-machine tool) — operational
+    surface for the 100 TB mission (SURVEY §2.12).
+    """
+    import glob
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(path, "*.parquet"))
+        + glob.glob(os.path.join(path, "part-*"))
+        if os.path.isfile(f)
+    ]
+    total = sum(os.path.getsize(f) for f in set(files))
+    n_out = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compacting"
+    bak = path.rstrip("/") + ".pre_compact"
+    # coalesce, not repartition: shrinking file count needs no shuffle
+    df.coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return int(n_out)
