@@ -90,3 +90,84 @@ def test_pipeline_rerun_identical(spark, tiny_corpus, tmp_path):
             )
         )
     assert runs[0] == runs[1]
+
+
+# --------------------------------------------------------- session-5 ops
+
+_LINE_KEEP = "alpha beta gamma delta works fine."      # 6 words, punct
+_LINE_SHORT = "too short."                              # 2 words
+_LINE_NOPUNCT = "five words but no punctuation here"    # no terminal
+_LINE_BAD = "enable javascript to view this page."      # bad phrase
+
+
+@given(
+    st.lists(
+        st.sampled_from([_LINE_KEEP, _LINE_SHORT, _LINE_NOPUNCT, _LINE_BAD]),
+        min_size=0,
+        max_size=8,
+    )
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_c4_kept_count_matches_construction(spark, lines):
+    from ordinarydumpdeduplicator_spark.operators.line_dedup import (
+        c4_line_filter,
+    )
+
+    text = "\n".join(lines) if lines else ""
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = c4_line_filter(docs).collect()[0]
+    expect_kept = sum(1 for x in lines if x == _LINE_KEEP)
+    # split("") yields one empty line; the empty doc still has n_lines=1
+    assert row.n_lines == max(1, len(lines))
+    assert row.n_kept == expect_kept
+    assert row.doc_keep == (expect_kept >= 1)
+    if row.doc_keep:
+        assert row.clean_text == "\n".join(
+            x for x in lines if x == _LINE_KEEP
+        )
+
+
+@given(st.integers(0, 2**31 - 1))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dsir_weights_partition_invariant(spark, seed):
+    """DSIR weights are a set-level fact: repartitioning / reordering the
+    input must not change any document's weight (the float-sum rounding
+    policy absorbs order-of-summation ulps)."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from ordinarydumpdeduplicator_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    rng = _random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = [
+        (
+            i,
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))),
+            rng.choice(["en", "de"]),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).withColumn("source", F.lit("s"))
+    t = F.col("lang") == "en"
+    base = {
+        r.doc_id: (r.n_ngrams, r.dsir_logweight, r.dsir_score)
+        for r in dsir_importance_weights(df, t).collect()
+    }
+    shuffled = {
+        r.doc_id: (r.n_ngrams, r.dsir_logweight, r.dsir_score)
+        for r in dsir_importance_weights(
+            df.repartition(7, "doc_id").sortWithinPartitions(
+                F.col("doc_id").desc()
+            ),
+            t,
+        ).collect()
+    }
+    assert base == shuffled
