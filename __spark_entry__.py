@@ -3,9 +3,11 @@
 ``entry(spark)`` runs the flagship near-duplicate text-clustering pipeline
 on sf0.001. ``queries()`` exposes the engine's operators (SURVEY.md §2 ids
 cited per entry) over the driver-provided testdata tables; ``oracle_sql()``
-gives the DuckDB-checkable equivalent for every query except ivf_topk,
-ivf_pq_topk and semantic_dedup (driver-side k-means quantizers —
-recall-/numpy-gated by tests instead).
+gives the DuckDB-checkable equivalent for every query except
+semantic_dedup (driver-side k-means cell labels have no stable SQL
+meaning — numpy-pinned by tests instead). ivf_topk / ivf_pq_topk ARE
+oracled: their deterministic trained centroids/codebooks are inlined into
+the SQL as literals (oracles.ivf_oracle_artifacts).
 Column names/aliases match between the two on purpose — the driver's
 compare hashes values under sorted column names.
 """
@@ -393,11 +395,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _tbl(spark, sf, "embeddings")
         return lsh_topk(emb, dim=64, k=3).select("vec_id", "neighbor_id", "rank")
 
-    def q_ivf_topk(spark, sf):  # rows-only (k-means quantizer not in SQL)
+    def q_ivf_topk(spark, sf):
         emb = _tbl(spark, sf, "embeddings")
         return ivf_topk(emb, k=3).select("vec_id", "neighbor_id", "rank")
 
-    def q_ivf_pq_topk(spark, sf):  # rows-only (k-means quantizer not in SQL)
+    def q_ivf_pq_topk(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.similarity import (
             ivf_pq_topk,
         )
@@ -865,6 +867,10 @@ _NORM = _norm_expr()
 
 def oracle_sql() -> dict[str, str]:
     from ordinarydumpdeduplicator_spark import oracles as osql
+
+    # deterministic IVF training artifacts for the gate sf (see oracles.py
+    # "IVF / IVF-PQ" section) — shared-by-construction with the engine
+    _ivf_cents, _ivf_books = osql.ivf_oracle_artifacts(osql.oracle_sf_dir())
 
     lang_scores = {
         "en": ["the", "and", "of", "to", "in"],
@@ -1386,9 +1392,16 @@ def oracle_sql() -> dict[str, str]:
             dim=64, threshold=0.4, bands=16
         ),
         "lsh_topk": osql.lsh_topk_sql(dim=64, k=3),
-        # ivf_topk stays rows-only: its centroids come from driver-side
-        # k-means — not SQL-expressible; recall vs topk_similar is pinned
-        # by tests/test_ann_recall.py
+        # ivf_topk / ivf_pq_topk: training is deterministic (md5-ordered
+        # sample + seeded k-means), so the trained centroids/codebooks are
+        # inlined as literals and the full assign->probe->(ADC)->re-rank is
+        # recomputed in SQL. Trains on oracle_sf_dir() — the driver's gate
+        # sf (0.01); check_oracles.py exports the env var for other sfs.
+        # Recall vs topk_similar additionally pinned by test_ann_recall.py.
+        "ivf_topk": osql.ivf_topk_sql(_ivf_cents, k=3, n_probe=8),
+        "ivf_pq_topk": osql.ivf_pq_topk_sql(
+            _ivf_cents, _ivf_books, k=3, n_probe=8, refine=4
+        ),
         "exact_substring_spans": f"SELECT * FROM ({_substring_spans_sql(8)})",
         "substring_dup_stats": f"""
             WITH toks AS (

@@ -281,9 +281,16 @@ def _collect_normalized_sample(
     order by a hash of the id and take the top-n (a distributed
     TakeOrdered — no full sort, no full scan to the driver). `.limit()`
     alone would take the FIRST partitions only, which on
-    partition-correlated data collapses the trained centroids."""
+    partition-correlated data collapses the trained centroids.
+
+    The hash is md5 of the stringified id (not xxhash64) so the DuckDB
+    oracle builder (oracles.ivf_training_sample) can replicate the exact
+    sample ORDER with hashlib — k-means seeding depends on it."""
     sample_rows = (
-        embeddings.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        embeddings.select(
+            F.col(vec_col).alias("v"),
+            F.md5(F.col(id_col).cast("string").cast("binary")).alias("h"),
+        )
         .orderBy("h")
         .limit(sample_size)
         .select("v")
@@ -340,7 +347,10 @@ def ivf_topk(
         nm[nm == 0] = 1.0
         sims = (mat / nm[:, None]) @ c.T
         npp = int(n.iloc[0])
-        order = np.argsort(-sims, axis=1)[:, :npp].astype(np.int32)
+        # stable: ties (e.g. a zero vector — sim 0 to every centroid)
+        # resolve to ascending cell index, mirrored by the DuckDB oracle's
+        # ORDER BY sim DESC, cell ASC
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :npp].astype(np.int32)
         return pd.Series(list(order), index=vecs.index)
 
     base = embeddings.select(
@@ -364,19 +374,9 @@ def ivf_topk(
         )
     )
 
-    @F.pandas_udf(T.DoubleType())
-    def pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.stack([np.asarray(v, dtype=np.float64) for v in a])
-        mb = np.stack([np.asarray(v, dtype=np.float64) for v in b])
-        na = np.linalg.norm(ma, axis=1)
-        nb = np.linalg.norm(mb, axis=1)
-        na[na == 0] = 1.0
-        nb[nb == 0] = 1.0
-        return pd.Series(
-            np.einsum("ij,ij->i", ma, mb) / (na * nb), index=a.index
-        )
-
-    scored = cands.withColumn("cosine", pair_cosine("q_vec", "n_vec"))
+    # JVM fold cosine (with_cosine) rather than a numpy UDF: the re-rank
+    # ordering is then bit-mirrorable by the DuckDB oracle's _cosine_jvm
+    scored = with_cosine(cands, "q_vec", "n_vec")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -498,7 +498,8 @@ def ivf_pq_topk(
     def probe_cells(vecs: pd.Series, n: pd.Series) -> pd.Series:
         sims = _norm_mat(vecs) @ b_cents.value.T
         npp = int(n.iloc[0])
-        order = np.argsort(-sims, axis=1)[:, :npp].astype(np.int32)
+        # stable: tie cells resolve to ascending index (see ivf_topk)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :npp].astype(np.int32)
         return pd.Series(list(order), index=vecs.index)
 
     t_short = k * refine
@@ -519,8 +520,9 @@ def ivf_pq_topk(
             )
         bk = b_books.value
         m_, _nc, ds_ = bk.shape
-        # vec_id-sorted candidates: argpartition then resolves score ties
-        # the same way on every run (shuffle arrival order varies)
+        # vec_id-sorted candidates: the stable top-t argsort below then
+        # resolves score ties the same way on every run (shuffle arrival
+        # order varies) and identically to the oracle's vec_id tie-break
         c_pdf = c_pdf.sort_values("vec_id")
         qm = _norm_mat(q_pdf["q_vec"])
         q_ids = q_pdf["q_id"].to_numpy()
@@ -539,7 +541,12 @@ def ivf_pq_topk(
             # a query's own vector must not occupy a shortlist slot
             scores[c_ids[lo:hi][None, :] == q_ids[:, None]] = -np.inf
             t = min(t_short, scores.shape[1])
-            part = np.argpartition(-scores, t - 1, axis=1)[:, :t]
+            # stable argsort over the vec_id-sorted candidate block: local
+            # top-t tie-breaks are exactly (adc DESC, vec_id ASC), which the
+            # DuckDB oracle mirrors with a window rank. (argpartition would
+            # be O(n) but resolves exact-tie boundaries — real for identical
+            # PQ codes, i.e. duplicate vectors — in unspecified order.)
+            part = np.argsort(-scores, axis=1, kind="stable")[:, :t]
             out_q.append(np.repeat(q_ids, t))
             out_v.append(c_ids[lo:hi][part.ravel()])
             out_s.append(np.take_along_axis(scores, part, axis=1).ravel())

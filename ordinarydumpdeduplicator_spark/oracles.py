@@ -672,3 +672,237 @@ def lsh_topk_sql(
       FROM scored)
     WHERE rank <= {k}
     """
+
+
+# ------------------------------------------------------------- IVF / IVF-PQ
+#
+# The coarse quantizer and PQ codebooks are trained driver-side from a
+# deterministic md5-ordered sample (operators/similarity.
+# _collect_normalized_sample) — training is SHARED with the engine (same
+# numpy functions on the same sample), then the trained arrays are inlined
+# as DOUBLE[] literals and the entire assign -> probe -> ADC -> re-rank is
+# recomputed independently in SQL. Tie behavior is pinned on both sides:
+# stable argsorts engine-side, `ORDER BY ... DESC, <id> ASC` oracle-side.
+# Residual risk is summation-order ulps (numpy pairwise/BLAS vs DuckDB
+# sequential) flipping a near-tie at a rank boundary — observed clean on
+# the driver's sf0.01 gate data.
+
+ORACLE_SF_DIR_ENV = "SPARK_GRAFT_ORACLE_SF_DIR"
+
+
+def oracle_sf_dir() -> str:
+    """The sf dir data-dependent oracles train against. The driver's gate
+    runs at sf=0.01; tools/check_oracles.py exports this env var so parity
+    holds at any sf."""
+    import os
+
+    return os.environ.get(ORACLE_SF_DIR_ENV, "/root/testdata/sf0.01")
+
+
+def ivf_training_sample(
+    sf_dir: str,
+    sample_size: int = 4096,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Replicates operators/similarity._collect_normalized_sample without
+    Spark: md5(str(id)) hex ordering, top-n, float64, unit-normalize.
+    Sample ORDER matters — k-means seeding indexes into it."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=[id_col, vec_col])
+    ids = t.column(id_col).to_pylist()
+    vecs = t.column(vec_col).to_pylist()
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest(),
+    )[:sample_size]
+    sample = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in order])
+    sn = np.linalg.norm(sample, axis=1)
+    sn[sn == 0] = 1.0
+    return sample / sn[:, None]
+
+
+def ivf_oracle_artifacts(
+    sf_dir: str,
+    n_cells: int = 64,
+    m_subspaces: int = 8,
+    n_codes: int = 256,
+    sample_size: int = 4096,
+):
+    """(centroids, codebooks) for the sf dir — the same _kmeans/_l2_kmeans
+    the engine runs, on the byte-identical sample."""
+    import numpy as np
+
+    from .operators.similarity import _kmeans, _l2_kmeans
+
+    smp = ivf_training_sample(sf_dir, sample_size=sample_size)
+    cents = _kmeans(smp, n_cells)
+    dim = smp.shape[1]
+    ds = dim // m_subspaces
+    books = np.stack(
+        [
+            _l2_kmeans(smp[:, m * ds : (m + 1) * ds], n_codes, seed=11 + m)
+            for m in range(m_subspaces)
+        ]
+    )
+    return cents, books
+
+
+def _dlist(row) -> str:
+    # repr(float) is shortest-round-trip: the literal parses back to the
+    # exact float64 the trainer produced
+    return "[" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[]"
+
+
+def _cents_values(cents) -> str:
+    return ", ".join(f"({i}, {_dlist(c)})" for i, c in enumerate(cents))
+
+
+# mirror of similarity._norm_mat: widen float32 -> float64 FIRST (unlike
+# _cosine_jvm, which mirrors the float32-product JVM fold), L2 norm with
+# the zero-norm -> 1.0 guard, elementwise divide
+_NORMED_CTE = """
+    vd AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(v, x -> x /
+               (CASE WHEN sqrt(list_inner_product(v, v)) > 0
+                     THEN sqrt(list_inner_product(v, v)) ELSE 1.0 END)) AS nvec
+      FROM vd
+    )"""
+
+
+def ivf_topk_sql(cents, k: int, n_probe: int) -> str:
+    """Mirror of operators/similarity.ivf_topk with the trained centroids
+    inlined: assign (rank-1 cell), probe (rank<=n_probe cells), exact
+    re-rank by the JVM-fold cosine within probed cells."""
+    return f"""
+    WITH cents(cell, c) AS (VALUES {_cents_values(cents)}),
+    {_NORMED_CTE},
+    sims AS (
+      SELECT nv.vec_id, cents.cell, list_inner_product(nvec, c) AS sim
+      FROM nv CROSS JOIN cents
+    ),
+    ranked AS (
+      SELECT vec_id, cell,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS pr
+      FROM sims
+    ),
+    corpus AS (SELECT vec_id, cell FROM ranked WHERE pr = 1),
+    probes AS (SELECT vec_id AS q_id, cell FROM ranked WHERE pr <= {n_probe}),
+    cand AS (
+      SELECT p.q_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN corpus c USING (cell)
+      WHERE p.q_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT cand.q_id AS vec_id, cand.neighbor_id,
+             {_cosine_jvm('qa.embedding', 'qb.embedding')} AS cosine
+      FROM cand
+      JOIN embeddings qa ON qa.vec_id = cand.q_id
+      JOIN embeddings qb ON qb.vec_id = cand.neighbor_id
+    )
+    SELECT vec_id, neighbor_id, rank FROM (
+      SELECT vec_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+def ivf_pq_topk_sql(cents, books, k: int, n_probe: int, refine: int) -> str:
+    """Mirror of operators/similarity.ivf_pq_topk: PQ-encode the corpus
+    against the inlined codebooks, ADC-score probed cells (terms summed in
+    subspace order, matching the engine's sequential adds), local top-t per
+    (query, cell) with the self row parked at -inf exactly like the
+    cogroup kernel, global top-t shortlist, exact-cosine refine."""
+    m_sub, n_codes, ds = books.shape
+    t_short = k * refine
+    books_vals = ", ".join(
+        f"({m}, {c}, {_dlist(books[m][c])})"
+        for m in range(m_sub)
+        for c in range(n_codes)
+    )
+    return f"""
+    WITH cents(cell, c) AS (VALUES {_cents_values(cents)}),
+    books(m, code, b) AS (VALUES {books_vals}),
+    {_NORMED_CTE},
+    csims AS (
+      SELECT nv.vec_id, cents.cell, list_inner_product(nvec, c) AS sim
+      FROM nv CROSS JOIN cents
+    ),
+    cranked AS (
+      SELECT vec_id, cell,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS pr
+      FROM csims
+    ),
+    cellof AS (SELECT vec_id, cell FROM cranked WHERE pr = 1),
+    probes AS (SELECT vec_id AS q_id, cell FROM cranked WHERE pr <= {n_probe}),
+    subv AS MATERIALIZED (
+      SELECT vec_id, ms.m AS m,
+             nvec[{ds} * ms.m + 1 : {ds} * (ms.m + 1)] AS sub
+      FROM nv CROSS JOIN (SELECT unnest(range(0, {m_sub})) AS m) ms
+    ),
+    enc AS MATERIALIZED (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, b.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 list_inner_product(s.sub, s.sub)
+                 - 2.0 * list_inner_product(s.sub, b.b)
+                 + list_inner_product(b.b, b.b) ASC, b.code ASC) AS rn
+        FROM subv s JOIN books b USING (m))
+      WHERE rn = 1
+    ),
+    adcterms AS (
+      SELECT p.q_id, e.vec_id, p.cell, e.m,
+             list_inner_product(qs.sub, b.b) AS term
+      FROM probes p
+      JOIN cellof cf ON cf.cell = p.cell
+      JOIN enc e ON e.vec_id = cf.vec_id
+      JOIN books b ON b.m = e.m AND b.code = e.code
+      JOIN subv qs ON qs.vec_id = p.q_id AND qs.m = e.m
+    ),
+    adc AS (
+      SELECT q_id, vec_id, cell,
+             CASE WHEN q_id = vec_id THEN '-infinity'::DOUBLE
+                  ELSE list_sum(list(term ORDER BY m)) END AS adc
+      FROM adcterms GROUP BY q_id, vec_id, cell
+    ),
+    loc AS (
+      SELECT q_id, vec_id, adc FROM (
+        SELECT q_id, vec_id, adc,
+               row_number() OVER (
+                 PARTITION BY q_id, cell ORDER BY adc DESC, vec_id ASC) AS lr
+        FROM adc)
+      WHERE lr <= {t_short} AND q_id <> vec_id
+    ),
+    shortlist AS (
+      SELECT q_id, vec_id AS neighbor_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (
+                 PARTITION BY q_id ORDER BY adc DESC, vec_id ASC) AS gr
+        FROM loc)
+      WHERE gr <= {t_short}
+    ),
+    refined AS (
+      SELECT s.q_id AS vec_id, s.neighbor_id,
+             {_cosine_jvm('qa.embedding', 'qb.embedding')} AS cosine
+      FROM shortlist s
+      JOIN embeddings qa ON qa.vec_id = s.q_id
+      JOIN embeddings qb ON qb.vec_id = s.neighbor_id
+    )
+    SELECT vec_id, neighbor_id, rank FROM (
+      SELECT vec_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM refined)
+    WHERE rank <= {k}
+    """

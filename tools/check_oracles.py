@@ -44,6 +44,11 @@ def norm_rows(cols, rows):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # data-dependent oracles (IVF centroid literals) must train on the
+    # same sf this run queries
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     only = set(sys.argv[2:])
     spark = get_spark("oracle_check", cores=8, shuffle_partitions=16)
     con = duckdb.connect()
