@@ -270,8 +270,17 @@ def image_quality_filter(
     decodes); beyond-reference surface, SURVEY §2.12."""
     w, h = F.col("w_actual"), F.col("h_actual")
     side_min, side_max = F.least(w, h), F.greatest(w, h)
+    # a status='ok' row whose feature columns are NULL anyway (partially
+    # populated frame) must fail too, not NULL-skip every gated rule and
+    # come out keep=true — missing features are an 'unreadable' verdict
+    feature_missing = w.isNull() | h.isNull() | F.col("gray_std").isNull()
     rules = [
-        ("unreadable", F.col("status") != "ok"),
+        (
+            "unreadable",
+            F.col("status").isNull()
+            | (F.col("status") != "ok")
+            | feature_missing,
+        ),
         ("too_small", side_min < min_side),
         (
             "extreme_aspect",

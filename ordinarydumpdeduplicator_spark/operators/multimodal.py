@@ -40,8 +40,8 @@ STATS_SCHEMA = (
     "mean_b double, std_gray double"
 )
 AUDIO_FEATURES_SCHEMA = (
-    "audio_id string, status string, n_samples long, rms double, "
-    "zero_crossings long"
+    "audio_id string, status string, n_samples long, sample_rate long, "
+    "rms double, zero_crossings long"
 )
 FRAMES_SCHEMA = "video_id string, frame_idx int, status string, bytes binary"
 
@@ -151,36 +151,77 @@ def _fake_waveform(seed_key: str, n: int = 4096) -> np.ndarray:
     return rng.standard_normal(n).astype(np.float32)
 
 
-def audio_features(audio: DataFrame, strict: bool = False) -> DataFrame:
-    """(audio_id, bytes) -> rms / zero-crossing features.
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """REAL RIFF/WAVE PCM decode via the stdlib ``wave`` module (public
+    API, no external codec): returns (mono float32 waveform in [-1, 1],
+    sample_rate). 8-bit unsigned / 16-bit / 32-bit signed PCM; channels
+    are averaged to mono. Raises on anything wave can't parse."""
+    import io
+    import wave as _wave
 
-    strict=True raises NotImplementedError at plan-build time: real audio
-    decoding needs an external codec library not present here. Non-strict
-    mode substitutes the deterministic fake so the distributed plumbing
-    (schema, batching, aggregation downstream) is fully testable."""
-    if strict:
-        raise NotImplementedError(
-            "audio decode requires an external codec library (e.g. "
-            "libsndfile); not available in this environment — stubbed"
-        )
+    with _wave.open(io.BytesIO(bytes(data)), "rb") as w:
+        sw = w.getsampwidth()
+        ch = w.getnchannels()
+        sr = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:  # WAV 8-bit is unsigned
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        arr = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if ch > 1:
+        arr = arr[: len(arr) - len(arr) % ch].reshape(-1, ch).mean(axis=1)
+        arr = arr.astype(np.float32)
+    return arr, sr
+
+
+def audio_features(audio: DataFrame, strict: bool = False) -> DataFrame:
+    """(audio_id, bytes) -> per-clip rms / zero-crossing / rate features.
+
+    RIFF/WAVE PCM payloads are REALLY decoded (stdlib ``wave`` + numpy —
+    status 'ok'; truncated/corrupt RIFF -> 'broken'). Other containers
+    (mp3/flac/ogg...) need codec libraries absent from this environment:
+    strict=True raises NotImplementedError for them inside the task,
+    strict=False substitutes the clearly-marked deterministic fake
+    ('fake_decode') so the distributed plumbing stays testable end-to-end.
+
+    Scale shape: same as decode_images — one mapInPandas pass, bytes never
+    enter a shuffle, output is a skinny feature frame."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
                 if data is None:
-                    out.append((aid, "unreadable", None, None, None))
+                    out.append((aid, "unreadable", None, None, None, None))
                     continue
-                wave = _fake_waveform(f"{aid}:{len(bytes(data))}")
+                b = bytes(data)
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    try:
+                        wave, sr = decode_wav(b)
+                    except Exception:
+                        out.append((aid, "broken", None, None, None, None))
+                        continue
+                    status = "ok"
+                elif strict:
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires an external codec "
+                        "library (e.g. libsndfile/ffmpeg); not available "
+                        "in this environment"
+                    )
+                else:
+                    wave = _fake_waveform(f"{aid}:{len(b)}")
+                    sr, status = None, "fake_decode"
                 zc = int(np.count_nonzero(np.diff(np.signbit(wave))))
-                out.append(
-                    (aid, "fake_decode", len(wave),
-                     float(np.sqrt((wave ** 2).mean())), zc)
-                )
+                rms = float(np.sqrt((wave ** 2).mean())) if len(wave) else 0.0
+                out.append((aid, status, len(wave), sr, rms, zc))
             yield pd.DataFrame(
                 out,
-                columns=["audio_id", "status", "n_samples", "rms",
-                         "zero_crossings"],
+                columns=["audio_id", "status", "n_samples", "sample_rate",
+                         "rms", "zero_crossings"],
             )
 
     return audio.select("audio_id", "bytes").mapInPandas(

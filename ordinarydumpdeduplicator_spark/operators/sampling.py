@@ -310,6 +310,14 @@ def dsir_importance_weights(
             ).alias("lr"),
         )
     )
+    # ORDER-CANONICAL per-doc sum: fold the (bucket, n*lr) terms in bucket
+    # order instead of F.sum over shuffle-ordered rows. Shuffle arrival
+    # order then cannot move the sum across a 4dp rounding boundary — the
+    # weights are bit-deterministic and the DuckDB oracle mirrors the fold
+    # with list_sum(list(term ORDER BY bucket)) (ADVICE r02: round-to-4dp
+    # alone can still flip within half an ulp of a .00005 boundary).
+    # A doc's term list is bounded by n_buckets (4096) entries, so the
+    # collect_list buffer stays executor-sized at any corpus scale.
     doc_w = (
         base.groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
@@ -317,11 +325,32 @@ def dsir_importance_weights(
         .groupBy("doc_id")
         .agg(
             F.sum("n").cast("long").alias("n_ngrams"),
-            F.round(F.sum(F.col("n") * F.col("lr")), 4).alias(
-                "dsir_logweight"
-            ),
+            F.collect_list(
+                F.struct(
+                    F.col("bucket"),
+                    (F.col("n") * F.col("lr")).alias("term"),
+                )
+            ).alias("__terms"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
             F.round(
-                F.sum(F.col("n") * F.col("lr")) / F.sum("n"), 6
+                F.aggregate(
+                    F.array_sort("__terms"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["term"],
+                ),
+                4,
+            ).alias("dsir_logweight"),
+            F.round(
+                F.aggregate(
+                    F.array_sort("__terms"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["term"],
+                )
+                / F.col("n_ngrams").cast("double"),
+                6,
             ).alias("dsir_score"),
         )
     )

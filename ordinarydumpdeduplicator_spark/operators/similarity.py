@@ -684,17 +684,34 @@ def lsh_topk(
     )
 
 
+EXACT_PAIRS_MAX_ROWS = 100_000
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = EXACT_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (cosine >= threshold).
 
     The SQL-expressible correctness baseline (oracle-checkable): pairwise
-    cosine via built-in array expressions, a.id < b.id. Quadratic — for
-    corpora beyond oracle scale use ``embedding_near_pairs_lsh``."""
+    cosine via built-in array expressions, a.id < b.id. Quadratic BY
+    DESIGN — guarded by ``max_rows`` (one cheap count) so a production
+    corpus can't detonate a cartesian: beyond the cap it raises and points
+    at ``embedding_near_pairs_lsh``, the sub-quadratic path with identical
+    verify semantics. Pass ``max_rows=0`` to disable (tests that own their
+    input sizes)."""
+    if max_rows:
+        n = embeddings.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_dup_pairs is the quadratic oracle baseline: "
+                f"{n} rows > max_rows={max_rows} (~{n * (n - 1) // 2:.2e} "
+                f"pairs). Use embedding_near_pairs_lsh for corpora at "
+                f"this scale, or pass max_rows=0 to force."
+            )
     base = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )

@@ -153,16 +153,22 @@ def embedding_dedup_tiers(
       into components, numeric-min heads — the embedding twin of
       near_dup_text_clusters
 
-    SIZE THE BANDS TO THE CORPUS: each band has n_planes/bands sign bits,
-    so random vectors spread over ~2^(n_planes/bands) buckets per band and
+    BAND SIZING IS ENFORCED, NOT ADVISORY: each band has n_planes/bands
+    sign bits, so random vectors spread over ~2^bits buckets per band and
     the expected bucket holds ~corpus / 2^bits rows. The driver-gate
     default (64 planes / 16 bands = 4 bits = 16 keys) is tuned for the
-    low-threshold small-corpus oracle regime and COLLAPSES past ~16k
-    vectors (every bucket over bucket_cap is dropped, the near tier goes
-    silently empty). At scale raise bits-per-band until corpus / 2^bits is
-    comfortably under bucket_cap — e.g. 10^9 vectors with cap 1024 wants
-    >= 20 bits per band (n_planes = bands * 20), adding bands to recover
-    the recall the finer buckets cost.
+    low-threshold small-corpus oracle regime and would COLLAPSE past ~16k
+    vectors (every bucket over bucket_cap dropped, the near tier silently
+    empty) — so when the expected bucket load n / 2^bits exceeds
+    bucket_cap / 2, bits-per-band are widened (n_planes = bands * bits)
+    until it doesn't, with a warning. Widening trades recall for bounded
+    buckets; recover recall by raising ``bands`` explicitly (e.g. 10^9
+    vectors with cap 1024 want >= 20 bits per band). Sizing counts exact
+    REPRESENTATIVES: bit-identical vectors are collapsed to their min-id
+    keeper before sketching (same pre-collapse as the caption LSH path),
+    so a duplicate-heavy wave cannot hot-bucket the sketch — copies
+    inherit the near tier through their exact keeper, which yields
+    byte-identical cascade output.
 
     ``clusters``: optionally a precomputed (vec_id, cluster_id) numeric-min
     assignment (a checkpointed stage table) — same reuse contract as
@@ -172,7 +178,7 @@ def embedding_dedup_tiers(
     empty/NULL vectors tier as 'empty' and never enter the sketch path
     (an empty array cannot be sketched)."""
     from .connected_components import numeric_min_components
-    from .similarity import embedding_near_pairs_lsh
+    from .similarity import DEFAULT_SKETCH_BUCKET_CAP, embedding_near_pairs_lsh
 
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
@@ -182,9 +188,33 @@ def embedding_dedup_tiers(
     )
     ex = nonempty.groupBy("vec").agg(F.min("vec_id").alias("exact_keeper"))
     if clusters is None:
+        # sketch only the exact representatives (min id per distinct
+        # vector value); identical copies connect exactly where their
+        # keeper connects, so components over reps lose nothing
+        reps = ex.select(
+            F.col("exact_keeper").alias("vec_id"), "vec"
+        )
+        cap_eff = (
+            bucket_cap if bucket_cap is not None else DEFAULT_SKETCH_BUCKET_CAP
+        )
+        bits = max(1, n_planes // bands)
+        n_reps = reps.count()
+        widened = bits
+        while n_reps / (1 << widened) > cap_eff / 2 and widened < 24:
+            widened += 1
+        if widened != bits:
+            import warnings
+
+            warnings.warn(
+                f"embedding_dedup_tiers: widened band keys from {bits} to "
+                f"{widened} bits ({n_reps} representatives vs bucket_cap "
+                f"{cap_eff}) — raise `bands` to recover recall",
+                stacklevel=2,
+            )
+            n_planes = bands * widened
         kw = {} if bucket_cap is None else {"bucket_cap": bucket_cap}
         pairs = embedding_near_pairs_lsh(
-            nonempty, dim=dim, threshold=threshold, bands=bands,
+            reps, dim=dim, threshold=threshold, bands=bands,
             n_planes=n_planes, id_col="vec_id", vec_col="vec", **kw,
         )
         clusters = numeric_min_components(

@@ -405,9 +405,11 @@ def embedding_dedup_tiers_sql(
     augmented: bool = False,
 ) -> str:
     """operators/tiers.embedding_dedup_tiers: exact grouping by the vector
-    value + the verified LSH pair list (embedding_near_pairs_lsh_sql)
-    closed via the recursive min-label CTE, precedence-cased."""
-    pairs_sql = embedding_near_pairs_lsh_sql(dim, threshold, bands)
+    value + the verified LSH pair list (embedding_near_pairs_lsh_sql over
+    the exact REPRESENTATIVES — min id per distinct vector, mirroring the
+    engine's pre-collapse) closed via the recursive min-label CTE,
+    precedence-cased."""
+    pairs_sql = embedding_near_pairs_lsh_sql(dim, threshold, bands, source="exr")
     aug = (
         f"embeddings AS MATERIALIZED ({_AUG_EMBS_CTE}),\n    "
         if augmented
@@ -425,6 +427,10 @@ def embedding_dedup_tiers_sql(
     ),
     ex AS (
       SELECT embedding, min(vec_id) AS ek FROM embeddings GROUP BY embedding
+    ),
+    exr AS (
+      SELECT ek AS vec_id, embedding FROM ex
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
     pairs AS MATERIALIZED (
       SELECT vec_id_a AS a, vec_id_b AS b FROM ({pairs_sql})
@@ -606,15 +612,15 @@ def _sketch_keys_expr(dim: int, n_planes: int, bands: int) -> str:
 
 
 def _sketch_band_ctes(
-    dim: int, n_planes: int, bands: int, cap: int
+    dim: int, n_planes: int, bands: int, cap: int, source: str = "embeddings"
 ) -> str:
-    """embeddings -> per-band sketch keys -> band rows with over-cap
+    """``source`` -> per-band sketch keys -> band rows with over-cap
     buckets DROPPED (operators/similarity._cap_buckets semantics — no star
     edges in the top-k/pairs sketch path)."""
     return f"""
     sk AS MATERIALIZED (
       SELECT vec_id, embedding, {_sketch_keys_expr(dim, n_planes, bands)} AS keys
-      FROM embeddings
+      FROM {source}
     ),
     br0 AS (
       SELECT vec_id, embedding, bs.b AS band, keys[bs.b+1] AS key
@@ -632,9 +638,10 @@ def embedding_near_pairs_lsh_sql(
     bands: int = 8,
     n_planes: int = 64,
     cap: int = DEFAULT_SKETCH_BUCKET_CAP,
+    source: str = "embeddings",
 ) -> str:
     return f"""
-    WITH {_sketch_band_ctes(dim, n_planes, bands, cap)},
+    WITH {_sketch_band_ctes(dim, n_planes, bands, cap, source)},
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
              a.embedding AS ea, b.embedding AS eb

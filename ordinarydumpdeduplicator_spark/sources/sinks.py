@@ -108,11 +108,21 @@ def compact_stage(
     single repartition-to-N shuffle-free coalesce when shrinking.
     The rewrite goes to a sibling ``<path>.compacting`` directory first
     and swaps in with two renames (old kept as ``<path>.pre_compact``
-    until the swap completes, then removed) — a reader never sees a
-    half-written directory, and a crash mid-swap leaves a recoverable
-    copy. Production analogue: Iceberg's rewrite_data_files action; the
-    file-swap protocol mirrors plans/pipeline.py's _SUCCESS-gated stage
-    writes.
+    until the swap completes, then removed). SINGLE-WRITER, NO CONCURRENT
+    READERS: the two renames are not one atomic operation — ``path`` is
+    briefly absent between them, and a crash in that window leaves only
+    ``<path>.pre_compact`` (recover by renaming it back). Run it like any
+    table-maintenance action: between jobs, never under a live reader.
+    Production analogue: Iceberg's rewrite_data_files action (whose
+    snapshot commit IS atomic — use that path when the catalog is real);
+    the file-swap protocol mirrors plans/pipeline.py's _SUCCESS-gated
+    stage writes.
+
+    Partitioned (nested-directory) stages are refused rather than
+    silently flattened: ``spark.read.parquet(path)`` on a
+    ``key=value``-partitioned dir would drop the partition columns from
+    the files and the flat rewrite would lose the layout, while the flat
+    size glob would see 0 bytes and coalesce(1).
 
     Reference analogue: none (single-machine tool) — operational
     surface for the 100 TB mission (SURVEY §2.12).
@@ -121,6 +131,17 @@ def compact_stage(
     import os
     import shutil
 
+    subdirs = [
+        d
+        for d in glob.glob(os.path.join(path, "*"))
+        if os.path.isdir(d) and not os.path.basename(d).startswith((".", "_"))
+    ]
+    if subdirs:
+        raise ValueError(
+            f"compact_stage: {path} contains subdirectories "
+            f"(partitioned layout?) — compact each leaf partition "
+            f"directory instead: {sorted(os.path.basename(d) for d in subdirs)[:3]}"
+        )
     files = [
         f
         for f in glob.glob(os.path.join(path, "*.parquet"))

@@ -177,17 +177,23 @@ def stream_ingest_dedup(
             written = s.read.parquet(os.path.join(new_path, epoch))
             # per-batch accounting (the streaming analogue of the
             # curation funnel's per-stage counters; north rule's metrics
-            # tables). ONE aggregate over the keyed batch derives the
-            # within-batch funnel; n_new reads the already-written
-            # output. Epoch-keyed overwrite like every other state dir,
-            # so a crash replay heals its own metrics row too.
-            stats = keyed.agg(
+            # tables). No second sha256 pass: content_sha is non-NULL iff
+            # text is (sha2 over a trim/lower normalization), so the raw
+            # batch contributes only count(1)/count(text) — Catalyst
+            # prunes the hash entirely — and n_distinct comes from the
+            # already-persisted flags frame (one row per distinct key).
+            # n_new reads the already-written output. Epoch-keyed
+            # overwrite like every other state dir, so a crash replay
+            # heals its own metrics row too.
+            stats = batch_df.agg(
                 F.count(F.lit(1)).alias("n_in"),
-                F.count("content_sha").alias("n_nonnull"),
-                F.countDistinct("content_sha").alias("n_distinct"),
+                F.count("text").alias("n_nonnull"),
             ).collect()[0]
+            n_distinct = flags.filter(
+                F.col("content_sha").isNotNull()
+            ).count()
             n_null = stats.n_in - stats.n_nonnull
-            n_batch_first = stats.n_distinct + n_null
+            n_batch_first = n_distinct + n_null
             w_stats = written.agg(
                 F.count(F.lit(1)).alias("n_total"),
                 F.count("content_sha").alias("n_nonnull"),
@@ -200,7 +206,7 @@ def stream_ingest_dedup(
                         int(batch_id),
                         int(stats.n_in),
                         int(n_null),
-                        int(stats.n_nonnull - stats.n_distinct),
+                        int(stats.n_nonnull - n_distinct),
                         int(n_batch_first - w_stats.n_total),
                         int(w_stats.n_nonnull),
                     )

@@ -60,13 +60,65 @@ def test_image_stats_match_numpy(spark, tiny_corpus):
         assert rows[rec.image_id]["mean_r"] == pytest.approx(px[:, :, 0].mean())
 
 
+def _make_wav(freq_hz: float, sr: int = 8000, n: int = 4000,
+              channels: int = 1, sampwidth: int = 2) -> bytes:
+    """Synthesize a PCM WAV in memory with the stdlib writer."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    t = np.arange(n) / sr
+    x = np.sin(2 * np.pi * freq_hz * t)
+    if sampwidth == 2:
+        pcm = (x * 32767).astype("<i2")
+    else:
+        pcm = ((x * 127) + 128).astype("u1")
+    if channels > 1:
+        pcm = np.repeat(pcm[:, None], channels, axis=1)
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_audio_wav_real_decode(spark):
+    """fmt=WAV is a REAL decode (stdlib wave), strict mode included."""
+    import numpy as np
+
+    wav = _make_wav(440.0)
+    stereo = _make_wav(440.0, channels=2)
+    audio = spark.createDataFrame(
+        [("a1", wav), ("a2", stereo), ("a3", wav[:30])],
+        "audio_id string, bytes binary",
+    )
+    rows = {r["audio_id"]: r
+            for r in audio_features(audio, strict=True).collect()}
+    assert rows["a1"]["status"] == "ok"
+    assert rows["a1"]["n_samples"] == 4000
+    assert rows["a1"]["sample_rate"] == 8000
+    # sine rms = 1/sqrt(2); int16 quantization keeps it within 1e-3
+    assert abs(rows["a1"]["rms"] - 1 / np.sqrt(2)) < 1e-3
+    # 440 Hz over 0.5 s crosses zero ~2*440*0.5 times
+    assert abs(rows["a1"]["zero_crossings"] - 440) <= 2
+    # stereo averages to mono: same features
+    assert rows["a2"]["n_samples"] == 4000
+    assert abs(rows["a2"]["rms"] - rows["a1"]["rms"]) < 1e-4
+    # truncated RIFF -> broken, not a crash
+    assert rows["a3"]["status"] == "broken"
+
+
 def test_audio_stub(spark):
     audio = spark.createDataFrame(
         [("a1", b"\x00" * 64), ("a2", b"\x01" * 64), ("a3", None)],
         "audio_id string, bytes binary",
     )
-    with pytest.raises(NotImplementedError):
-        audio_features(audio, strict=True)
+    # non-WAV payloads in strict mode raise inside the task
+    with pytest.raises(Exception, match="codec"):
+        audio_features(audio, strict=True).collect()
     rows = {r["audio_id"]: r for r in audio_features(audio).collect()}
     assert rows["a1"]["status"] == "fake_decode"
     assert rows["a1"]["n_samples"] == 4096

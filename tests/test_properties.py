@@ -170,4 +170,14 @@ def test_dsir_weights_partition_invariant(spark, seed):
             t,
         ).collect()
     }
-    assert base == shuffled
+    # the round-to-4dp policy absorbs order-of-summation ulps EXCEPT when
+    # a sum lands within half an ulp of a .00005 boundary and the two
+    # orderings round to adjacent grid points — so equality is asserted
+    # at one 4dp grid step, not bitwise (ADVICE r02)
+    assert base.keys() == shuffled.keys()
+    for k in base:
+        bn, blw, bsc = base[k]
+        sn, slw, ssc = shuffled[k]
+        assert bn == sn
+        assert abs(blw - slw) <= 1.0001e-4, (k, blw, slw)
+        assert abs(bsc - ssc) <= 1.0001e-4, (k, bsc, ssc)

@@ -9,6 +9,7 @@ in tests/test_oracle_parity.py.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ordinarydumpdeduplicator_spark.operators.tiers import (
     dedup_tier_stats,
@@ -352,3 +353,69 @@ def test_tier_drift_contract_invariants(spark):
         f == "unique" and t in ("exact", "normalized") for f, t in cells
     )
     assert all(n > 0 for n in cells.values())
+
+
+def test_embedding_band_sizing_enforced(spark):
+    """20k+ vectors at the 4-bit oracle config would drop EVERY bucket
+    (expected load 20000/16 >> cap) — the cascade must auto-widen the band
+    keys so buckets stay bounded and planted near-pairs still surface
+    (VERDICT r02 item 6: the sizing rule lives in code, not prose)."""
+    import warnings as _warnings
+
+    import numpy as np
+    import pandas as pd
+
+    from ordinarydumpdeduplicator_spark.operators.tiers import (
+        embedding_dedup_tiers,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    base = rng.normal(size=(n, 16)).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    # planted near-pairs: x2-scaled copies of every 500th vector (same
+    # direction => cosine 1) under fresh ids ABOVE the originals
+    planted = [
+        (n + j, (base[j * 500] * 2.0).astype("float32").tolist())
+        for j in range(40)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows + planted, columns=["vec_id", "embedding"])
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        tiers = embedding_dedup_tiers(
+            df, dim=16, threshold=0.95, bands=16, n_planes=64,
+            bucket_cap=256,
+        )
+        got = {
+            r.vec_id: (r.tier, r.keeper_id)
+            for r in tiers.filter("vec_id >= 20000").collect()
+        }
+    assert any("widened band keys" in str(w.message) for w in caught)
+    # every planted scaled copy must land in the near tier with its
+    # original as keeper — a collapsed (all-dropped-buckets) sketch would
+    # tier them 'unique'
+    near = {v: k for v, (t, k) in got.items() if t == "near"}
+    assert len(near) == 40, {v: t for v, (t, _) in got.items() if t != "near"}
+    for j in range(40):
+        assert near[20_000 + j] == j * 500
+
+
+def test_embedding_dup_pairs_guard(spark):
+    """The quadratic oracle baseline refuses production-sized input and
+    points at the LSH path (VERDICT r02 item 3)."""
+    import pytest as _pytest
+
+    from ordinarydumpdeduplicator_spark.operators.similarity import (
+        embedding_dup_pairs,
+    )
+
+    df = spark.range(0, 101).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="embedding_near_pairs_lsh"):
+        embedding_dup_pairs(df, max_rows=100).count()
+    # cap disabled -> runs (101 identical unit vectors => all pairs)
+    assert embedding_dup_pairs(df, max_rows=0).count() == 101 * 100 // 2
