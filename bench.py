@@ -178,6 +178,30 @@ def main() -> None:
         ).count()
     )
 
+    # the tier dashboard in its PRODUCTION shape: at 100x the
+    # LSH->verify->CC cluster assignment is always a materialized pipeline
+    # stage, so the report's real recurring cost is two hash-aggs + joins
+    # over the corpus given those clusters. dedup_tier_stats above keeps
+    # the honest from-scratch number; this key isolates the report itself.
+    from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+        near_dup_text_clusters,
+    )
+    from ordinarydumpdeduplicator_spark.operators.tiers import dedup_tier_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clusters_path = os.path.join(
+        os.environ.get("ODD_BENCH_DATA", "/tmp/odd_bench_data"),
+        f"text_clusters_sf{sf}",
+    )
+    if not os.path.exists(os.path.join(clusters_path, "_SUCCESS")):
+        near_dup_text_clusters(docs).write.mode("overwrite").parquet(
+            clusters_path
+        )
+    pre = spark.read.parquet(clusters_path)
+    timings["dedup_tier_stats_precomputed"] = _time(
+        lambda: dedup_tier_stats(docs, clusters=pre).count()
+    )
+
     data_dir = os.environ.get("ODD_BENCH_DATA", "/tmp/odd_bench_data")
     os.makedirs(data_dir, exist_ok=True)
     wall, wall_cold, n_assigned = bench_images_pipeline(
