@@ -213,3 +213,116 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(255.0**2 / mse)
+
+
+# ------------------------------------------------- AVI, uncompressed (real)
+#
+# RIFF 'AVI ' with BI_RGB (biCompression=0) 24-bit DIB frames in '00db'
+# chunks — the classic uncompressed-video AVI layout (public RIFF/AVI
+# spec: 'hdrl' LIST holding avih + one 'vids'/'DIB ' stream, 'movi' LIST
+# holding the frame chunks, every chunk word-aligned). Frame payloads use
+# the same bottom-up/BGR/4-byte-padded row layout as BMP above. Real
+# players open these files; no codec library is involved by design.
+
+
+def encode_avi_rgb(frames: list, fps: int = 10) -> bytes:
+    """Encode a list of identically-shaped HxWx3 uint8 RGB frames as an
+    uncompressed 24-bit AVI."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w, _ = frames[0].shape
+    row_size = (w * 3 + 3) & ~3
+    frame_size = row_size * h
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_size * fps, 0, 0x10,  # AVIF_HASINDEX off
+        len(frames), 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        frame_size, -1, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_frames = []
+    for f in frames:
+        if f.shape != (h, w, 3):
+            raise ValueError("frames must share one shape")
+        bgr = f[::-1, :, ::-1]
+        rows = np.zeros((h, row_size), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        movi_frames.append(chunk(b"00db", rows.tobytes()))
+    movi = lst(b"movi", b"".join(movi_frames))
+    riff_payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) walking word-aligned
+    RIFF chunks in data[start:end]."""
+    pos = start
+    while pos + 8 <= end:
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            raise ValueError("truncated RIFF chunk")
+        yield tag, body, size
+        pos = body + size + (size & 1)
+
+
+def decode_avi_rgb(data: bytes) -> list:
+    """Decode an uncompressed 24-bit RGB AVI into a list of HxWx3 uint8
+    frames. Only BI_RGB DIB streams are supported — compressed fourccs
+    raise (that is what external codec libraries are for)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    w = h = None
+    compression = 0
+    payloads: list[tuple[int, int]] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal w, h, compression
+        for tag, body, size in _riff_chunks(data, start, end):
+            if tag == b"LIST":
+                walk(body + 4, body + size)  # skip the list-kind fourcc
+            elif tag == b"avih" and size >= 40:
+                w, h = struct.unpack_from("<II", data, body + 32)
+            elif tag == b"strf" and size >= 20:
+                compression = struct.unpack_from("<I", data, body + 16)[0]
+            elif tag[2:4] in (b"db", b"dc") and size > 0:
+                payloads.append((body, size))
+
+    walk(12, len(data))
+    if not w or not h:
+        raise ValueError("AVI missing avih header")
+    if compression != 0:
+        raise ValueError(
+            f"compressed AVI stream (biCompression={compression}); only "
+            "BI_RGB uncompressed frames decode here"
+        )
+    row_size = (int(w) * 3 + 3) & ~3
+    need = row_size * int(h)
+    frames = []
+    for body, size in payloads:
+        if size < need:
+            raise ValueError("truncated AVI frame")
+        rows = np.frombuffer(data, dtype=np.uint8, count=need, offset=body)
+        rows = rows.reshape(int(h), row_size)[:, : int(w) * 3]
+        frames.append(rows.reshape(int(h), int(w), 3)[::-1, :, ::-1].copy())
+    return frames

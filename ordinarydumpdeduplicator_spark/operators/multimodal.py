@@ -7,11 +7,14 @@ shape are the real cluster-scale plumbing; the *codec* layer is pluggable:
 
 - images: REAL — the engine ships pure-numpy png/bmp/quantized-jpg codecs
   (fixtures/codecs.py), so decode/resize/stats run end-to-end in tests.
-- audio/video: STUBBED — this environment has no media libraries, so the
-  decode step raises ``NotImplementedError`` in strict mode or produces a
-  clearly-marked deterministic fake (hash-seeded) otherwise. The Spark-side
-  contract (schemas, vectorized batch processing, per-row error handling)
-  is identical to what a real libsndfile/ffmpeg-backed UDF would use.
+- audio: REAL for RIFF/WAVE PCM (stdlib ``wave`` + numpy, 8/16/32-bit,
+  multi-channel to mono); other containers stubbed (no libsndfile here).
+- video: REAL for uncompressed 24-bit RGB AVI (RIFF parse + BI_RGB DIB
+  frames, fixtures/codecs.decode_avi_rgb); compressed containers stubbed
+  (no ffmpeg here). Stubbed paths raise ``NotImplementedError`` in strict
+  mode or produce a clearly-marked deterministic fake (hash-seeded)
+  otherwise — the Spark-side contract (schemas, vectorized batching,
+  per-row error handling) is identical either way.
 
 Arrow batch sizing note: decoded pixel rows are ~W*H*3 bytes; the session
 caps ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of
@@ -232,17 +235,20 @@ def audio_features(audio: DataFrame, strict: bool = False) -> DataFrame:
 def video_frame_sample(
     video: DataFrame, n_frames: int = 4, strict: bool = False
 ) -> DataFrame:
-    """(video_id, bytes) -> sampled frame rows (one output row per frame).
+    """(video_id, bytes) -> sampled frame rows (one output row per frame,
+    frame payloads re-encoded with the real png codec so downstream image
+    operators — decode/phash/pixel-exact dedup — compose directly).
 
-    Row-expanding UDTF-shaped mapInPandas: each input row yields
-    ``n_frames`` frame rows. strict=True raises (no ffmpeg here);
-    non-strict emits deterministic fake frames encoded with the real png
-    codec, so downstream image operators (decode/phash/dedup) compose."""
-    if strict:
-        raise NotImplementedError(
-            "video decode requires ffmpeg-like tooling; not available in "
-            "this environment — stubbed"
-        )
+    Uncompressed 24-bit RGB AVI payloads (RIFF 'AVI ', BI_RGB '00db'
+    frames) are REALLY decoded (fixtures/codecs.decode_avi_rgb, pure
+    struct+numpy over the public RIFF/AVI layout): up to ``n_frames``
+    frames sampled at even stride, status 'ok', frame_idx = the frame's
+    index in the source stream. Corrupt/truncated RIFF or a compressed
+    fourcc -> one 'broken' row. Other containers (mp4/mkv/webm...) need
+    ffmpeg-like tooling absent here: strict=True raises inside the task,
+    strict=False emits the clearly-marked deterministic fake frames.
+
+    Row-expanding UDTF-shaped mapInPandas; bytes never enter a shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -251,6 +257,31 @@ def video_frame_sample(
                 if data is None:
                     out.append((vid, -1, "unreadable", None))
                     continue
+                b = bytes(data)
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    try:
+                        frames = codecs.decode_avi_rgb(b)
+                    except Exception:
+                        out.append((vid, -1, "broken", None))
+                        continue
+                    n = len(frames)
+                    take = (
+                        range(n)
+                        if n <= n_frames
+                        else [k * n // n_frames for k in range(n_frames)]
+                    )
+                    for idx in take:
+                        out.append(
+                            (vid, idx, "ok",
+                             codecs.encode(frames[idx], "png"))
+                        )
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "non-AVI video decode requires an external codec "
+                        "library (ffmpeg); not available in this "
+                        "environment"
+                    )
                 for k in range(n_frames):
                     h = hashlib.blake2b(
                         f"{vid}:{k}".encode(), digest_size=8

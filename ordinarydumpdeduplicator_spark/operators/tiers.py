@@ -188,6 +188,12 @@ def embedding_dedup_tiers(
     )
     ex = nonempty.groupBy("vec").agg(F.min("vec_id").alias("exact_keeper"))
     if clusters is None:
+        # ex now has three consumers (sizing count, the sketch chain, the
+        # final join): lazy localCheckpoint materializes the grouped
+        # frame once on first use instead of re-shuffling the corpus per
+        # consumer (measured round-2: lazy beats eager AND no-checkpoint
+        # for multi-consumer frames in one job wave)
+        ex = ex.localCheckpoint(eager=False)
         # sketch only the exact representatives (min id per distinct
         # vector value); identical copies connect exactly where their
         # keeper connects, so components over reps lose nothing

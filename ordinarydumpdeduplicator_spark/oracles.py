@@ -734,6 +734,10 @@ def ivf_training_sample(
     return sample / sn[:, None]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
 def ivf_oracle_artifacts(
     sf_dir: str,
     n_cells: int = 64,
@@ -742,7 +746,9 @@ def ivf_oracle_artifacts(
     sample_size: int = 4096,
 ):
     """(centroids, codebooks) for the sf dir — the same _kmeans/_l2_kmeans
-    the engine runs, on the byte-identical sample."""
+    the engine runs, on the byte-identical sample. Cached: oracle_sql()
+    is called once per parity test, and the training artifacts for a
+    given sf dir never change within a process."""
     import numpy as np
 
     from .operators.similarity import _kmeans, _l2_kmeans
