@@ -3,11 +3,11 @@
 ``entry(spark)`` runs the flagship near-duplicate text-clustering pipeline
 on sf0.001. ``queries()`` exposes the engine's operators (SURVEY.md §2 ids
 cited per entry) over the driver-provided testdata tables; ``oracle_sql()``
-gives the DuckDB-checkable equivalent for every query except
-semantic_dedup (driver-side k-means cell labels have no stable SQL
-meaning — numpy-pinned by tests instead). ivf_topk / ivf_pq_topk ARE
-oracled: their deterministic trained centroids/codebooks are inlined into
-the SQL as literals (oracles.ivf_oracle_artifacts).
+gives the DuckDB-checkable equivalent for EVERY query. The data-dependent
+ones (ivf_topk / ivf_pq_topk / semantic_dedup) train deterministically
+(md5-ordered sample + seeded k-means) so their centroids/codebooks are
+inlined into the SQL as literals (oracles.ivf_oracle_artifacts,
+oracles.semantic_oracle_centroids).
 Column names/aliases match between the two on purpose — the driver's
 compare hashes values under sorted column names.
 """
@@ -1528,9 +1528,14 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_contaminated_positions, 0) > 0 AS contaminated
             FROM tr LEFT JOIN hit h USING (doc_id)
         """,
-        # semantic_dedup stays rows-only: driver-side k-means quantizer —
-        # the greedy within-cell rule is numpy-pinned in
-        # tests/test_substring_dedup.py
+        # semantic_dedup: same inlined-artifact treatment as ivf_topk —
+        # the seeded k-means centroids (md5-ordered sample) are literals,
+        # assignment + within-cell greedy drop recomputed in SQL; the
+        # greedy rule additionally numpy-pinned in tests
+        "semantic_dedup": osql.semantic_dedup_sql(
+            osql.semantic_oracle_centroids(osql.oracle_sf_dir()),
+            threshold=0.4,
+        ),
         "trim_duplicate_spans": f"""
             WITH spans AS ({_substring_spans_sql(8)}),
             toks AS (SELECT doc_id, {_TOKS} AS t, text FROM documents),

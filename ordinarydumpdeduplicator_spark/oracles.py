@@ -919,3 +919,58 @@ def ivf_pq_topk_sql(cents, books, k: int, n_probe: int, refine: int) -> str:
       FROM refined)
     WHERE rank <= {k}
     """
+
+
+# ------------------------------------------------------------ SemDeDup
+
+
+@functools.lru_cache(maxsize=4)
+def semantic_oracle_centroids(
+    sf_dir: str, n_cells: int = 16, sample_size: int = 4096
+):
+    """Trained coarse-quantizer centroids for semantic_dedup — the same
+    md5-ordered sample + seeded _kmeans the engine's _train_centroids
+    runs (operators/similarity.py:305), so the literals inlined into the
+    SQL are bit-identical to the broadcast the Spark job uses."""
+    from .operators.similarity import _kmeans
+
+    return _kmeans(
+        ivf_training_sample(sf_dir, sample_size=sample_size), n_cells
+    )
+
+
+def semantic_dedup_sql(cents, threshold: float) -> str:
+    """Mirror of operators/similarity.semantic_dedup with the trained
+    centroids inlined: cell assignment is argmax over normalized-vector ·
+    centroid (numpy argmax takes the FIRST max, hence ORDER BY sim DESC,
+    cell ASC), and a vector is dropped when ANY lower-id vector in the
+    same cell has JVM-fold cosine >= threshold (dropped vectors still
+    shadow later ones — the greedy chain)."""
+    return f"""
+    WITH cents(cell, c) AS (VALUES {_cents_values(cents)}),
+    {_NORMED_CTE},
+    sims AS (
+      SELECT nv.vec_id, cents.cell, list_inner_product(nvec, c) AS sim
+      FROM nv CROSS JOIN cents
+    ),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS pr
+        FROM sims)
+      WHERE pr = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a
+      JOIN assigned b USING (cell)
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE a.vec_id < b.vec_id
+        AND {_cosine_jvm('ea.embedding', 'eb.embedding')} >= {threshold}
+    )
+    SELECT a.vec_id, a.cell::BIGINT AS cell,
+           (d.vec_id IS NULL) AS is_kept
+    FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    """

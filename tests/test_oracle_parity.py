@@ -240,3 +240,16 @@ def test_decontamination_oracle(spark, subset_dir, duck):
     df = e.queries()["decontamination"](spark, subset_dir)
     assert df.where("contaminated").count() > 0, "subset has no overlap"
     _assert_parity(df, duck, e.oracle_sql()["decontamination"])
+
+
+def test_semantic_dedup_oracle(spark, subset_dir, duck):
+    # trains on the SUBSET (the oracle must mirror what the query it is
+    # compared against actually trained on) — the packaged oracle_sql()
+    # entry instead trains on oracles.oracle_sf_dir(), the driver's gate sf
+    import __spark_entry__ as e
+    from ordinarydumpdeduplicator_spark import oracles as o
+
+    df = e.queries()["semantic_dedup"](spark, subset_dir)
+    assert df.where("NOT is_kept").count() > 0, "subset lost all drops"
+    cents = o.semantic_oracle_centroids(subset_dir)
+    _assert_parity(df, duck, o.semantic_dedup_sql(cents, threshold=0.4))
