@@ -308,3 +308,82 @@ class NearDupPipeline:
             tier_report=image_tier_report(clusters, edges),
             modality_report=modality_agreement(clusters, edges),
         )
+
+
+# --------------------------------------------------- metrics/lineage tables
+
+METRICS_SCHEMA = (
+    "run_id string, stage string, status string, rows_out long, "
+    "wall_sec double, extra map<string,string>"
+)
+LINEAGE_SCHEMA = "run_id string, stage string, file string, rows long"
+
+_METRIC_CORE = ("run_id", "stage", "status", "rows_out", "wall_sec")
+
+
+def _run_ids(checkpoint_dir: str, run_id: str | None) -> list[str]:
+    if run_id is not None:
+        return [run_id]
+    return sorted(
+        d
+        for d in os.listdir(checkpoint_dir)
+        if os.path.isdir(os.path.join(checkpoint_dir, d))
+    )
+
+
+def metrics_table(
+    spark: SparkSession, checkpoint_dir: str, run_id: str | None = None
+) -> DataFrame:
+    """The persisted per-stage metrics of one run (or every run under the
+    checkpoint dir) as a queryable DataFrame — the north rule's metrics
+    TABLE, not just a JSON artifact. Core columns are typed; telemetry
+    keys beyond them (cc convergence stats, lineage file counts, ...)
+    land in the ``extra`` map so new stage telemetry never breaks the
+    schema. Metrics are a handful of rows per run, driver-read by design;
+    in a production deployment the same rows append to an Iceberg metrics
+    table (sources/catalog.py gates the format on classpath)."""
+    rows = []
+    for rid in _run_ids(checkpoint_dir, run_id):
+        path = os.path.join(checkpoint_dir, rid, "metrics.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            for m in json.load(f):
+                rows.append(
+                    (
+                        m.get("run_id", rid),
+                        m.get("stage"),
+                        m.get("status"),
+                        m.get("rows_out"),
+                        m.get("wall_sec"),
+                        {
+                            k: str(v)
+                            for k, v in m.items()
+                            if k not in _METRIC_CORE
+                        },
+                    )
+                )
+    return spark.createDataFrame(rows, METRICS_SCHEMA)
+
+
+def lineage_table(
+    spark: SparkSession, checkpoint_dir: str, run_id: str | None = None
+) -> DataFrame:
+    """Per-partition lineage of every persisted stage as a DataFrame: one
+    row per stage output file with its recorded row count — the queryable
+    form of the ``_lineage.json`` records, so skew and layout of any
+    checkpointed run are one groupBy away."""
+    rows = []
+    for rid in _run_ids(checkpoint_dir, run_id):
+        run_dir = os.path.join(checkpoint_dir, rid)
+        for stage in sorted(os.listdir(run_dir)):
+            lin = os.path.join(run_dir, stage, "_lineage.json")
+            if not os.path.exists(lin):
+                continue
+            with open(lin) as f:
+                rec = json.load(f)
+            for d in rec["files"]:
+                rows.append(
+                    (rec.get("run_id", rid), rec["stage"], d["file"], d["rows"])
+                )
+    return spark.createDataFrame(rows, LINEAGE_SCHEMA)

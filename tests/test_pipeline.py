@@ -295,3 +295,41 @@ def test_modality_report_pipeline_output(small_corpus, pipeline_result):
                 # byte-identical evidence may be shadowed only by a
                 # stronger family, and 'file' IS the strongest
                 assert verdict[side] == "file", (side, verdict[side])
+
+
+def test_metrics_and_lineage_tables(spark, tiny_images, tmp_path):
+    """metrics_table / lineage_table expose the persisted run telemetry
+    as queryable DataFrames (north rule: lineage + METRICS TABLES)."""
+    from ordinarydumpdeduplicator_spark.plans.pipeline import (
+        lineage_table,
+        metrics_table,
+    )
+
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path), run_id="rA")
+    first = NearDupPipeline(spark, cfg).run(tiny_images)
+    n_feat = first["features"].count()
+    # a second resumed run under another run_id — both must surface
+    cfg2 = PipelineConfig(checkpoint_dir=str(tmp_path), run_id="rB")
+    NearDupPipeline(spark, cfg2).run(tiny_images)
+
+    mt = metrics_table(spark, str(tmp_path))
+    rows = {(r.run_id, r.stage): r for r in mt.collect()}
+    stages = {"features", "edges", "cc", "clusters"}
+    assert {rid for rid, _ in rows} == {"rA", "rB"}
+    assert {st for _, st in rows} == stages
+    assert rows[("rA", "features")].status == "complete"
+    assert rows[("rA", "features")].rows_out == n_feat
+    # cc convergence telemetry survives in the extra map
+    assert "n_input_edges" in rows[("rA", "cc")].extra
+    # single-run filter
+    assert metrics_table(spark, str(tmp_path), run_id="rB").count() == len(
+        stages
+    )
+
+    lt = lineage_table(spark, str(tmp_path), run_id="rA")
+    per_stage = {
+        r.stage: r.total
+        for r in lt.groupBy("stage").agg(F.sum("rows").alias("total")).collect()
+    }
+    assert per_stage["features"] == n_feat
+    assert lt.filter("rows < 0").count() == 0
