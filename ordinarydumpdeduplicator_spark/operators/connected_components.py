@@ -94,6 +94,21 @@ def _driver_union_find(
     # core bounds the job at one wave.
     n_slots = max(2, e.sparkSession.sparkContext.defaultParallelism)
     edges_pdf = e.coalesce(n_slots).toPandas()
+    return _uf_from_pandas(
+        e.sparkSession, edges_pdf, stats, collect_sec=_time.time() - t0
+    )
+
+
+def _uf_from_pandas(
+    spark, edges_pdf, stats: dict | None, collect_sec: float = 0.0
+) -> DataFrame:
+    """Union-find over an already-collected pandas edge frame (columns
+    u, v) + conversion of the assignments back to a driver-local Arrow
+    DataFrame — the shared tail of both small-graph entry points (the
+    DataFrame collect above and the one-job limit-probe in
+    connected_components)."""
+    import time as _time
+
     pairs = list(zip(edges_pdf["u"], edges_pdf["v"]))
     t1 = _time.time()
     assign = uf_components(pairs)
@@ -104,10 +119,9 @@ def _driver_union_find(
             n_input_edges=len(pairs),
             n_star_edges=len(pairs),
             n_assignments=len(assign),
-            collect_sec=round(t1 - t0, 3),
+            collect_sec=round(collect_sec, 3),
             uf_sec=round(t2 - t1, 3),
         )
-    spark = e.sparkSession
     # Arrow (pandas) conversion, NO eager checkpoint: the one consumer of
     # this frame is the clusters join, which BROADCASTS it
     # (plans/pipeline.py) — an eager localCheckpoint would distribute the
@@ -193,11 +207,23 @@ def connected_components(
             if stats is not None:
                 stats["precount_sec"] = 0.0
             return _driver_union_find(raw, n_edges_hint, stats)
-        n_raw = raw.count()
-        if 0 < n_raw <= driver_threshold:
+        # ONE limit-probe job instead of count-then-collect: separate
+        # DataFrame actions do not share shuffle files, so the old
+        # raw.count() + the union-find's toPandas each re-executed the
+        # entire upstream chain — for the near-dup callers that chain is
+        # LSH -> verify, the most expensive plan in the engine. Collecting
+        # up to threshold+1 canonical edges answers the cutover question
+        # AND, below threshold, already IS the edge set — including the
+        # zero-edge case, which previously fell through to a (pointless)
+        # full fixpoint over an empty frame.
+        probe = raw.limit(driver_threshold + 1).toPandas()
+        if len(probe) <= driver_threshold:
             if stats is not None:
-                stats["precount_sec"] = round(_time.time() - t_pre, 3)
-            return _driver_union_find(raw, n_raw, stats)
+                stats["precount_sec"] = 0.0
+            return _uf_from_pandas(
+                edges.sparkSession, probe, stats,
+                collect_sec=_time.time() - t_pre,
+            )
     e = _canon(edges)
     if checkpoint:
         e = e.localCheckpoint(eager=False)
