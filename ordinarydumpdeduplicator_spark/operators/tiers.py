@@ -300,43 +300,54 @@ IMAGE_TIER_PRECEDENCE = [
 ]
 
 
-def image_tier_report(clusters: DataFrame, edges: DataFrame) -> DataFrame:
-    """Per-image tier attribution for the image near-dup pipeline:
-    (image_id, cluster_id, tier) where tier is the strongest-precedence
-    edge kind incident to the image — which detector tier caught it.
-    Dup-group heads get 'canonical', singletons 'unique'.
+def tier_attribution(
+    clusters: DataFrame,
+    edges: DataFrame,
+    precedence: list[str],
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Per-item tier attribution shared by the image pipeline and the
+    video dedup report: (id_col, cluster_id, tier) where tier is the
+    strongest-``precedence`` edge kind incident to the item — which
+    detector tier caught it. Dup-group heads get 'canonical', singletons
+    'unique'. ``clusters`` needs (id_col, cluster_id, is_dup); ``edges``
+    needs (src, dst, kind).
 
     Scale shape: the edge frame is orders of magnitude smaller than the
     corpus (bounded by dup volume + LSH bucket caps); exploding both
     endpoints doubles it, the min-precedence aggregate partial-combines
-    map-side, and the corpus-side join is a left join on image_id that
+    map-side, and the corpus-side join is a left join on the id that
     AQE can broadcast whenever the dup set is small."""
     # unknown kinds (a future edge family, or an edges checkpoint from a
     # newer run) rank BELOW every known tier as 'other' — array_position
     # returns 0 for them and element_at(_, 0) would throw
-    labels = F.array(*[F.lit(k) for k in IMAGE_TIER_PRECEDENCE + ["other"]])
+    labels = F.array(*[F.lit(k) for k in precedence + ["other"]])
     pos = F.array_position(labels, F.col("kind"))
-    idx = F.when(pos > 0, pos).otherwise(
-        F.lit(len(IMAGE_TIER_PRECEDENCE) + 1)
-    )
+    idx = F.when(pos > 0, pos).otherwise(F.lit(len(precedence) + 1))
     touched = (
-        edges.select(F.col("src").alias("image_id"), idx.alias("p"))
-        .unionByName(edges.select(F.col("dst").alias("image_id"), idx.alias("p")))
-        .groupBy("image_id")
+        edges.select(F.col("src").alias(id_col), idx.alias("p"))
+        .unionByName(edges.select(F.col("dst").alias(id_col), idx.alias("p")))
+        .groupBy(id_col)
         .agg(F.min("p").alias("p"))
         .select(
-            "image_id",
+            id_col,
             F.element_at(labels, F.col("p").cast("int")).alias("_tier"),
         )
     )
-    return clusters.join(touched, "image_id", "left").select(
-        "image_id",
+    return clusters.join(touched, id_col, "left").select(
+        id_col,
         "cluster_id",
         F.when(~F.col("is_dup"), F.lit("unique"))
-        .when(F.col("image_id") == F.col("cluster_id"), F.lit("canonical"))
+        .when(F.col(id_col) == F.col("cluster_id"), F.lit("canonical"))
         .otherwise(F.coalesce("_tier", F.lit("unique")))
         .alias("tier"),
     )
+
+
+def image_tier_report(clusters: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-image tier attribution for the image near-dup pipeline — see
+    tier_attribution for the semantics and scale shape."""
+    return tier_attribution(clusters, edges, IMAGE_TIER_PRECEDENCE)
 
 
 # Which modality's detector produced each edge kind. "file" is its own

@@ -1,0 +1,349 @@
+"""Video near-duplicate detection: frame fingerprints -> banded LSH ->
+verified frame-match fraction -> connected components -> tier report.
+
+The reference hashes every file as one opaque byte stream
+(Common/FsUtils.cs:39-54), so a re-muxed or re-encoded video — same
+frames, different container bytes — is invisible to its dedup. This
+module extends the tier cascade (operators/tiers.py) to the video
+modality over REAL decoded frames:
+
+  exact        byte-identical file (sha256 over the raw payload; broken
+               payloads still hash — reference semantics: unparseable
+               content still has identity)
+  frame_exact  identical ordered frame-pHash signature (re-mux / fps
+               change / lossless re-encode: headers differ, frames don't)
+  frame_near   verified near duplicate — banded frame-pHash LSH
+               candidates, symmetric frame-match fraction >= threshold
+               (catches trimmed, noised, or lightly re-quantized copies)
+
+Codec layer matches operators/multimodal.video_frame_sample: uncompressed
+24-bit RGB AVI is REALLY decoded (fixtures/codecs.decode_avi_rgb, pure
+struct + numpy over the public RIFF layout); other containers need
+ffmpeg-like tooling absent here — strict=True raises inside the task,
+strict=False emits clearly-marked deterministic fake frame hashes
+(status 'fake_decode'; hash-seeded per video, so fakes never cross-match).
+
+Scale shape (the 100 TB question): fingerprinting is ONE mapInPandas
+pass over the payload column — bytes never enter a shuffle; only
+(video_id, <= n_frames int64 hashes) does, a ~100-byte row regardless of
+video size. Candidates come through lsh.pairs_from_buckets (bucket caps
+with star-edge fallback + `capped` marker), so pair volume is bounded;
+each 64-bit frame hash splits into ``bands`` sub-keys, guaranteeing any
+frame pair within Hamming < bands shares a bucket (pigeonhole) and
+probabilistically catching more. Verify cost is linear in the candidate
+count (<= n_frames^2 64-bit XORs per pair, vectorized per Arrow batch).
+The CC edge frame is orders of magnitude below corpus size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..fixtures import codecs
+from ..functions.phash import phash64
+from .connected_components import connected_components
+from .lsh import pairs_from_buckets
+from .tiers import tier_attribution
+
+VIDEO_FP_SCHEMA = (
+    "video_id string, status string, file_sha string, "
+    "n_frames_total int, frame_hashes array<long>"
+)
+
+# strongest identity first — same contract as tiers.IMAGE_TIER_PRECEDENCE
+VIDEO_TIER_PRECEDENCE = ["exact", "frame_exact", "frame_near"]
+
+
+def video_fingerprints(
+    video: DataFrame, n_frames: int = 8, strict: bool = False
+) -> DataFrame:
+    """(video_id, bytes) -> one skinny fingerprint row per video:
+    sha256 of the raw payload + up to ``n_frames`` evenly-strided
+    frame pHashes (functions/phash.phash64 over each decoded frame).
+
+    status: ok | broken (valid magic, corrupt body) | unreadable (NULL
+    payload) | fake_decode (non-AVI container, strict=False).
+
+    Everything downstream (banding, verify, CC) runs on this frame, so
+    the multi-MB payload column is read exactly once and never shuffled.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                if data is None:
+                    out.append((vid, "unreadable", None, None, None))
+                    continue
+                b = bytes(data)
+                sha = hashlib.sha256(b).hexdigest()
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    try:
+                        frames = codecs.decode_avi_rgb(b)
+                    except Exception:
+                        out.append((vid, "broken", sha, None, None))
+                        continue
+                    n = len(frames)
+                    take = (
+                        range(n)
+                        if n <= n_frames
+                        else [k * n // n_frames for k in range(n_frames)]
+                    )
+                    hashes = [phash64(frames[i]) for i in take]
+                    out.append((vid, "ok", sha, n, hashes))
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "non-AVI video decode requires an external codec "
+                        "library (ffmpeg); not available in this "
+                        "environment"
+                    )
+                fake = []
+                for k in range(n_frames):
+                    h = hashlib.blake2b(
+                        f"{vid}:{k}".encode(), digest_size=8
+                    ).digest()
+                    fake.append(int.from_bytes(h, "little", signed=True))
+                out.append((vid, "fake_decode", sha, n_frames, fake))
+            # explicit nullable Int32: pandas would otherwise coerce a
+            # [None, int] column to float64 (see verify-skill gotcha)
+            yield pd.DataFrame(
+                {
+                    "video_id": [r[0] for r in out],
+                    "status": [r[1] for r in out],
+                    "file_sha": [r[2] for r in out],
+                    "n_frames_total": pd.array(
+                        [r[3] for r in out], dtype="Int32"
+                    ),
+                    "frame_hashes": [r[4] for r in out],
+                }
+            )
+
+    return video.select("video_id", "bytes").mapInPandas(
+        run, schema=VIDEO_FP_SCHEMA
+    )
+
+
+def frame_band_rows(fps: DataFrame, bands: int = 4) -> DataFrame:
+    """Fingerprints -> distinct (video_id, band, key) LSH rows: every
+    sampled frame hash split into ``bands`` disjoint bit slices.
+
+    Two frames within Hamming < ``bands`` share at least one slice
+    (pigeonhole), so candidate recall is guaranteed at that radius and
+    probabilistic beyond it. Frame position is deliberately NOT part of
+    the key — a trimmed copy's surviving frames still collide.
+
+    All built-ins (explode + shiftrightunsigned/AND), whole-stage
+    codegen; distinct bounds a video's bucket contributions."""
+    assert 64 % bands == 0, "bands must divide 64"
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = F.col("h")
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(h, b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        fps.filter(F.col("frame_hashes").isNotNull())
+        .select("video_id", F.explode("frame_hashes").alias("h"))
+        .select("video_id", F.explode(slices).alias("s"))
+        .select("video_id", F.col("s.band").alias("band"),
+                F.col("s.key").alias("key"))
+        .distinct()
+    )
+
+
+def _match_frac_udf(max_hamming: int):
+    """pandas UDF (frame_hashes_a, frame_hashes_b) -> symmetric match
+    fraction: (|a-frames with a Hamming<=r match in b| + |b-frames with a
+    match in a|) / (|a| + |b|). Robust to trims and frame drops — an
+    identical copy scores 1.0, a half-trimmed copy ~2/3.
+
+    Vectorized per pair: one uint64 XOR outer product + unpackbits
+    popcount (numpy 1.x has no bitwise_count); arrays are <= n_frames
+    long so each pair is a tiny cache-resident matrix."""
+
+    def _frac(ha, hb) -> float:
+        av = np.asarray(ha, dtype=np.int64).view(np.uint64)
+        bv = np.asarray(hb, dtype=np.int64).view(np.uint64)
+        x = av[:, None] ^ bv[None, :]
+        pc = (
+            np.unpackbits(x.view(np.uint8).reshape(len(av), len(bv), 8),
+                          axis=2)
+            .sum(axis=2)
+        )
+        m = pc <= max_hamming
+        return float(m.any(axis=1).sum() + m.any(axis=0).sum()) / (
+            len(av) + len(bv)
+        )
+
+    @F.pandas_udf("double")
+    def _udf(ha: pd.Series, hb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_frac(a, b) for a, b in zip(ha, hb)], index=ha.index
+        )
+
+    return _udf
+
+
+def video_near_pairs(
+    fps: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 6,
+    min_match_frac: float = 0.5,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Fingerprints -> verified near-dup pairs
+    (src, dst, match_frac, capped), src < dst.
+
+    Candidate generation reuses lsh.pairs_from_buckets (hash-agg bucket
+    stats, caps + star-edge fallback, shuffle-hash self-join — the exact
+    machinery the text/caption chains run at scale); verification joins
+    the two skinny hash arrays back and scores each pair with ONE
+    vectorized Arrow batch pass. The fingerprint frame is tiny relative
+    to any real corpus, so AQE broadcasts it into the verify joins."""
+    cand = pairs_from_buckets(
+        frame_band_rows(fps, bands=bands),
+        id_col="video_id",
+        bucket_cap=bucket_cap,
+    )
+    sig = fps.filter(F.col("frame_hashes").isNotNull()).select(
+        "video_id", "frame_hashes"
+    )
+    a = sig.select(
+        F.col("video_id").alias("src"), F.col("frame_hashes").alias("ha")
+    )
+    b = sig.select(
+        F.col("video_id").alias("dst"), F.col("frame_hashes").alias("hb")
+    )
+    frac = _match_frac_udf(max_hamming)
+    return (
+        cand.join(a, "src")
+        .join(b, "dst")
+        .withColumn("match_frac", frac("ha", "hb"))
+        .filter(F.col("match_frac") >= min_match_frac)
+        .select("src", "dst", "match_frac", "capped")
+    )
+
+
+def _star_edges(
+    rows: DataFrame, key_cols: list[str], kind: str
+) -> DataFrame:
+    """Star edges (min member -> member) within each multi-member group
+    keyed by ``key_cols`` — the linear-size clique representation, same
+    hash-agg + equi-join shape as exact_dedup.pixel_exact_edges (no sort
+    on the key; the multi-member group frame is tiny, AQE broadcasts)."""
+    groups = (
+        rows.groupBy(*key_cols)
+        .agg(F.min("video_id").alias("mn"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return (
+        rows.join(groups.hint("shuffle_hash"), key_cols)
+        .filter(F.col("video_id") != F.col("mn"))
+        .select(
+            F.col("mn").alias("src"),
+            F.col("video_id").alias("dst"),
+            F.lit(kind).alias("kind"),
+        )
+    )
+
+
+def video_edges(fps: DataFrame, **near_kwargs) -> DataFrame:
+    """All three edge families over one fingerprint frame, tagged with
+    `kind` for tier attribution (precedence: VIDEO_TIER_PRECEDENCE)."""
+    exact = _star_edges(
+        fps.filter(F.col("file_sha").isNotNull()).select(
+            "video_id", "file_sha"
+        ),
+        ["file_sha"],
+        "exact",
+    )
+    # ordered frame signature: ',' never occurs in a decimal int64, so
+    # concat_ws is injective on hash sequences
+    frame_sig = fps.filter(F.col("status") == "ok").select(
+        "video_id",
+        F.sha2(
+            F.concat_ws(
+                ",",
+                F.transform(F.col("frame_hashes"), lambda x: x.cast("string")),
+            ),
+            256,
+        ).alias("sig"),
+    )
+    frame_exact = _star_edges(frame_sig, ["sig"], "frame_exact")
+    near = video_near_pairs(
+        fps.filter(F.col("status") == "ok"), **near_kwargs
+    ).select("src", "dst", F.lit("frame_near").alias("kind"))
+    return exact.unionByName(frame_exact).unionByName(near)
+
+
+def video_dedup_report(
+    video: DataFrame,
+    n_frames: int = 8,
+    bands: int = 4,
+    max_hamming: int = 6,
+    min_match_frac: float = 0.5,
+    bucket_cap: int = 64,
+    strict: bool = False,
+    fingerprints: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """End-to-end video dedup: fingerprints, tagged edges, cluster
+    assignment for EVERY video (singletons -> themselves), and per-video
+    tier attribution (exact / frame_exact / frame_near / canonical /
+    unique) — the video-modality twin of plans/pipeline.NearDupPipeline.
+
+    ``fingerprints``: pass a materialized fingerprint frame to skip the
+    decode pass (production reuse — at 100x the fingerprint stage is
+    always a checkpointed pipeline stage, exactly like
+    tiers.dedup_tier_stats' `clusters=` parameter).
+
+    Returns {"fingerprints", "edges", "clusters", "tiers"}; clusters is
+    (video_id, cluster_id, is_dup)."""
+    fps = (
+        fingerprints
+        if fingerprints is not None
+        else video_fingerprints(video, n_frames=n_frames, strict=strict)
+    )
+    edges = video_edges(
+        fps,
+        bands=bands,
+        max_hamming=max_hamming,
+        min_match_frac=min_match_frac,
+        bucket_cap=bucket_cap,
+    )
+    assign = connected_components(edges.select("src", "dst"))
+    assign = assign.select(
+        F.col("image_id").alias("video_id"), "cluster_id"
+    )
+    clusters = (
+        fps.select("video_id")
+        .join(assign, "video_id", "left")
+        .select(
+            "video_id",
+            F.coalesce("cluster_id", "video_id").alias("cluster_id"),
+            F.col("cluster_id").isNotNull().alias("is_dup"),
+        )
+    )
+    tiers = tier_attribution(
+        clusters, edges, VIDEO_TIER_PRECEDENCE, id_col="video_id"
+    )
+    return {
+        "fingerprints": fps,
+        "edges": edges,
+        "clusters": clusters,
+        "tiers": tiers,
+    }
