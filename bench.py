@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_BENCH_IMAGES = int(os.environ.get("ODD_BENCH_IMAGES", "40000"))
+N_BENCH_VIDEOS = int(os.environ.get("ODD_BENCH_VIDEOS", "4000"))
 
 
 def _time(fn) -> float:
@@ -204,6 +205,29 @@ def main() -> None:
 
     data_dir = os.environ.get("ODD_BENCH_DATA", "/tmp/odd_bench_data")
     os.makedirs(data_dir, exist_ok=True)
+
+    # video-modality dedup: fingerprint (decode+phash) -> banded LSH ->
+    # verify -> CC -> tiers over a pre-materialized planted AVI corpus
+    from ordinarydumpdeduplicator_spark.fixtures.generator import (
+        spark_videos_df,
+    )
+    from ordinarydumpdeduplicator_spark.operators.video_dedup import (
+        video_dedup_report,
+    )
+
+    videos_path = os.path.join(data_dir, f"videos_{N_BENCH_VIDEOS}")
+    if not os.path.exists(os.path.join(videos_path, "_SUCCESS")):
+        spark_videos_df(spark, N_BENCH_VIDEOS).write.mode(
+            "overwrite"
+        ).parquet(videos_path)
+    videos = spark.read.parquet(videos_path)
+    timings["videos_dedup"] = _time(
+        lambda: video_dedup_report(videos)["tiers"].count()
+    )
+    timings["videos_per_sec"] = round(
+        N_BENCH_VIDEOS / timings["videos_dedup"], 1
+    )
+
     wall, wall_cold, n_assigned = bench_images_pipeline(
         spark, N_BENCH_IMAGES, data_dir
     )
@@ -215,7 +239,9 @@ def main() -> None:
         sum(
             v
             for k, v in timings.items()
-            if k not in ("images_per_sec", "images_pipeline_cold")
+            if k not in (
+                "images_per_sec", "images_pipeline_cold", "videos_per_sec"
+            )
         ),
         3,
     )

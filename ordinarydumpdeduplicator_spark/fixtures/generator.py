@@ -345,3 +345,72 @@ def spark_images_df(
     return spark.range(0, n, numPartitions=num_parts).mapInPandas(
         gen_batches, schema=schema
     )
+
+
+def gen_video_row(
+    i: int,
+    seed: int = 42,
+    n_frames: int = 8,
+    frame_size: tuple[int, int] = (24, 12),  # _make_pixels needs 8|w, 6|h
+) -> dict:
+    """Deterministic planted-class video row. Videos come in units of
+    two (unit = i//2, member = i%2); unit % 10 picks the class:
+    0 -> byte-identical pair, 1 -> re-muxed pair (same frames, different
+    fps), 2 -> near pair (±1 noised + 2 frames trimmed), else two
+    independent unique videos. 3/10 of units are therefore dup pairs."""
+    from . import codecs
+
+    unit, member = i // 2, i % 2
+    cls = unit % 10
+    w, h = frame_size
+    # namespace the rng key: paired classes share per-UNIT frames, unique
+    # videos get per-INDEX frames — the ("u"/"s") tag keeps the two
+    # integer key spaces from colliding (unit u == index i would
+    # otherwise make a "unique" video byte-identical to a planted pair)
+    key = ("u", unit) if cls in (0, 1, 2) else ("s", i)
+    frames = [
+        _make_pixels(_rng(seed, "vidframe", *key, k), w, h)
+        for k in range(n_frames)
+    ]
+    fps = 10
+    if member == 1 and cls == 1:
+        fps = 25
+    elif member == 1 and cls == 2:
+        frames = [
+            np.clip(
+                f.astype(np.int16)
+                + _rng(seed, "vidnoise", *key, k).integers(
+                    -1, 2, size=f.shape, dtype=np.int16
+                ),
+                0, 255,
+            ).astype(np.uint8)
+            for k, f in enumerate(frames)
+        ][2:]
+    data = codecs.encode_avi_rgb(frames, fps=fps)
+    cls_name = {0: "exact", 1: "remux", 2: "near"}.get(cls, "unique")
+    return dict(video_id=f"v{i:09d}", bytes=data, _class=cls_name, _unit=unit)
+
+
+def spark_videos_df(spark, n: int, seed: int = 42, partitions: int | None = None):
+    """Distributed deterministic video corpus (same pattern as
+    spark_images_df): each partition generates its own id range via
+    mapInPandas — no driver materialization."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+    ])
+
+    def gen_batches(iterator):
+        for pdf in iterator:
+            recs = [gen_video_row(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(
+                [(r["video_id"], r["bytes"]) for r in recs],
+                columns=["video_id", "bytes"],
+            )
+
+    num_parts = partitions or spark.sparkContext.defaultParallelism
+    return spark.range(0, n, numPartitions=num_parts).mapInPandas(
+        gen_batches, schema=schema
+    )

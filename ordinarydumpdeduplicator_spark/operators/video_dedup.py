@@ -313,11 +313,18 @@ def video_dedup_report(
 
     Returns {"fingerprints", "edges", "clusters", "tiers"}; clusters is
     (video_id, cluster_id, is_dup)."""
-    fps = (
-        fingerprints
-        if fingerprints is not None
-        else video_fingerprints(video, n_frames=n_frames, strict=strict)
-    )
+    if fingerprints is not None:
+        fps = fingerprints
+    else:
+        # LAZY cut: the fingerprint frame feeds SIX consumers (exact +
+        # frame_exact group keys, band rows, both verify join sides, the
+        # clusters left side) — without it each consumer re-runs the
+        # decode+phash mapInPandas pass (same rationale as
+        # lsh.pairs_from_buckets' checkpoint; production passes a
+        # materialized `fingerprints=` stage instead)
+        fps = video_fingerprints(
+            video, n_frames=n_frames, strict=strict
+        ).localCheckpoint(eager=False)
     edges = video_edges(
         fps,
         bands=bands,
