@@ -242,17 +242,37 @@ def video_near_pairs(
 def _star_edges(
     rows: DataFrame, key_cols: list[str], kind: str
 ) -> DataFrame:
-    """Star edges (min member -> member) within each multi-member group
-    keyed by ``key_cols`` — the linear-size clique representation, same
-    hash-agg + equi-join shape as exact_dedup.pixel_exact_edges (no sort
-    on the key; the multi-member group frame is tiny, AQE broadcasts)."""
+    """Star edges (hub member -> member) within each multi-member group
+    keyed by ``key_cols`` — the linear-size clique representation.
+
+    Hub selection is a TWO-phase numeric aggregate: ``min(string)`` has a
+    var-length aggregation buffer, which forces SortAggregate — a
+    per-partition sort of the ENTIRE fingerprint frame by the group key
+    (measured in the executed plan). Aggregating ``min(xxhash64(id))``
+    stays HashAggregate; the hub's actual id string is then resolved on
+    the hash-min candidate frame (~1 row per multi-member group, min(id)
+    tie-breaks the negligible within-group hash collisions — its
+    SortAggregate touches only that tiny frame). The hub choice is
+    arbitrary-but-deterministic; connected components relabels with the
+    component-min id regardless, so cluster output is hub-invariant.
+    Explicit repartition on the key feeds the aggregate and both join
+    probes from ONE exchange (exact_dedup.exact_clusters' pattern)."""
+    rows = rows.withColumn("_h", F.xxhash64("video_id")).repartition(
+        *key_cols
+    )
     groups = (
         rows.groupBy(*key_cols)
-        .agg(F.min("video_id").alias("mn"), F.count(F.lit(1)).alias("n"))
+        .agg(F.min("_h").alias("_hmin"), F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
     )
-    return (
+    hubs = (
         rows.join(groups.hint("shuffle_hash"), key_cols)
+        .filter(F.col("_h") == F.col("_hmin"))
+        .groupBy(*key_cols)
+        .agg(F.min("video_id").alias("mn"))
+    )
+    return (
+        rows.join(hubs.hint("shuffle_hash"), key_cols)
         .filter(F.col("video_id") != F.col("mn"))
         .select(
             F.col("mn").alias("src"),
@@ -325,13 +345,16 @@ def video_dedup_report(
         fps = video_fingerprints(
             video, n_frames=n_frames, strict=strict
         ).localCheckpoint(eager=False)
+    # edges also feeds two consumers (CC + tier attribution) — without a
+    # cut the LSH->verify chain executes once per consumer (seen in the
+    # executed plan as duplicated aggregate subtrees)
     edges = video_edges(
         fps,
         bands=bands,
         max_hamming=max_hamming,
         min_match_frac=min_match_frac,
         bucket_cap=bucket_cap,
-    )
+    ).localCheckpoint(eager=False)
     assign = connected_components(edges.select("src", "dst"))
     assign = assign.select(
         F.col("image_id").alias("video_id"), "cluster_id"

@@ -123,13 +123,14 @@ def test_tier_attribution(report):
 
 
 def test_edge_kinds(report):
-    kinds = set(zip(report["edges"].src, report["edges"].dst,
-                    report["edges"].kind))
-    assert ("v00", "v01", "exact") in kinds
-    assert ("v02", "v03", "frame_exact") in kinds
-    assert ("v08", "v09", "exact") in kinds
-    assert any(k == "frame_near" and {s, d} == {"v04", "v05"}
-               for s, d, k in kinds)
+    # star-hub choice is arbitrary-but-deterministic (hash-min member),
+    # so assert unordered pairs
+    kinds = {(frozenset((s, d)), k) for s, d, k in zip(
+        report["edges"].src, report["edges"].dst, report["edges"].kind)}
+    assert (frozenset(("v00", "v01")), "exact") in kinds
+    assert (frozenset(("v02", "v03")), "frame_exact") in kinds
+    assert (frozenset(("v08", "v09")), "exact") in kinds
+    assert (frozenset(("v04", "v05")), "frame_near") in kinds
 
 
 def test_trimmed_noised_match_frac(report):

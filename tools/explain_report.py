@@ -156,6 +156,25 @@ def main() -> None:
         lines += [f"- {s}" for s in summarize(plan)]
         lines += [f"- executed: {s}" for s in summarize_executed(executed)]
         lines += ["", "```", executed, "```", ""]
+
+    # videos_dedup is bench-keyed, not a queries() entry (frame decode is
+    # not SQL-expressible) — capture its executed tier-report plan over a
+    # small generated corpus so the chain is reviewable like the rest
+    from ordinarydumpdeduplicator_spark.fixtures.generator import (
+        spark_videos_df,
+    )
+    from ordinarydumpdeduplicator_spark.operators.video_dedup import (
+        video_dedup_report,
+    )
+
+    vdf = video_dedup_report(spark_videos_df(spark, 400))["tiers"]
+    plan = plan_text(vdf)
+    executed = executed_plan_text(vdf)
+    lines += ["## videos_dedup (tiers output; bench key, no SQL oracle)", ""]
+    lines += [f"- {s}" for s in summarize(plan)]
+    lines += [f"- executed: {s}" for s in summarize_executed(executed)]
+    lines += ["", "```", executed, "```", ""]
+
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {out_path}")
