@@ -31,7 +31,8 @@ with star-edge fallback + `capped` marker), so pair volume is bounded;
 each 64-bit frame hash splits into ``bands`` sub-keys, guaranteeing any
 frame pair within Hamming < bands shares a bucket (pigeonhole) and
 probabilistically catching more. Verify cost is linear in the candidate
-count (<= n_frames^2 64-bit XORs per pair, vectorized per Arrow batch).
+count (<= n_frames^2 64-bit XORs per pair, pure built-ins inside
+whole-stage codegen — no Python in the verify hot path).
 The CC edge frame is orders of magnitude below corpus size.
 """
 
@@ -40,7 +41,6 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -166,37 +166,28 @@ def frame_band_rows(fps: DataFrame, bands: int = 4) -> DataFrame:
     )
 
 
-def _match_frac_udf(max_hamming: int):
-    """pandas UDF (frame_hashes_a, frame_hashes_b) -> symmetric match
-    fraction: (|a-frames with a Hamming<=r match in b| + |b-frames with a
-    match in a|) / (|a| + |b|). Robust to trims and frame drops — an
-    identical copy scores 1.0, a half-trimmed copy ~2/3.
+def _match_frac_expr(ha, hb, max_hamming: int):
+    """Column expression: symmetric frame-match fraction
+    (|a-frames with a Hamming<=r match in b| + |b-frames with a match in
+    a|) / (|a| + |b|). Robust to trims and frame drops — an identical
+    copy scores 1.0, a half-trimmed copy ~2/3.
 
-    Vectorized per pair: one uint64 XOR outer product + unpackbits
-    popcount (numpy 1.x has no bitwise_count); arrays are <= n_frames
-    long so each pair is a tiny cache-resident matrix."""
+    Pure built-ins (higher-order array filter/exists + bit_count on the
+    XOR), so the verify stays inside whole-stage codegen — no Arrow
+    round-trip for <= n_frames^2 64-bit popcounts per pair."""
+    ha, hb = F.col(ha) if isinstance(ha, str) else ha, (
+        F.col(hb) if isinstance(hb, str) else hb
+    )
+    r = F.lit(max_hamming)
 
-    def _frac(ha, hb) -> float:
-        av = np.asarray(ha, dtype=np.int64).view(np.uint64)
-        bv = np.asarray(hb, dtype=np.int64).view(np.uint64)
-        x = av[:, None] ^ bv[None, :]
-        pc = (
-            np.unpackbits(x.view(np.uint8).reshape(len(av), len(bv), 8),
-                          axis=2)
-            .sum(axis=2)
-        )
-        m = pc <= max_hamming
-        return float(m.any(axis=1).sum() + m.any(axis=0).sum()) / (
-            len(av) + len(bv)
+    def matched(xs, ys):
+        return F.size(
+            F.filter(
+                xs, lambda x: F.exists(ys, lambda y: F.bit_count(x.bitwiseXOR(y)) <= r)
+            )
         )
 
-    @F.pandas_udf("double")
-    def _udf(ha: pd.Series, hb: pd.Series) -> pd.Series:
-        return pd.Series(
-            [_frac(a, b) for a, b in zip(ha, hb)], index=ha.index
-        )
-
-    return _udf
+    return (matched(ha, hb) + matched(hb, ha)) / (F.size(ha) + F.size(hb))
 
 
 def video_near_pairs(
@@ -212,8 +203,8 @@ def video_near_pairs(
     Candidate generation reuses lsh.pairs_from_buckets (hash-agg bucket
     stats, caps + star-edge fallback, shuffle-hash self-join — the exact
     machinery the text/caption chains run at scale); verification joins
-    the two skinny hash arrays back and scores each pair with ONE
-    vectorized Arrow batch pass. The fingerprint frame is tiny relative
+    the two skinny hash arrays back and scores each pair with built-in
+    higher-order array expressions (codegen; zero UDFs). The fingerprint frame is tiny relative
     to any real corpus, so AQE broadcasts it into the verify joins."""
     cand = pairs_from_buckets(
         frame_band_rows(fps, bands=bands),
@@ -229,11 +220,12 @@ def video_near_pairs(
     b = sig.select(
         F.col("video_id").alias("dst"), F.col("frame_hashes").alias("hb")
     )
-    frac = _match_frac_udf(max_hamming)
     return (
         cand.join(a, "src")
         .join(b, "dst")
-        .withColumn("match_frac", frac("ha", "hb"))
+        .withColumn(
+            "match_frac", _match_frac_expr("ha", "hb", max_hamming)
+        )
         .filter(F.col("match_frac") >= min_match_frac)
         .select("src", "dst", "match_frac", "capped")
     )
