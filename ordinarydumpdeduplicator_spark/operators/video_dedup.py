@@ -130,22 +130,15 @@ def video_fingerprints(
     )
 
 
-def frame_band_rows(fps: DataFrame, bands: int = 4) -> DataFrame:
-    """Fingerprints -> distinct (video_id, band, key) LSH rows: every
-    sampled frame hash split into ``bands`` disjoint bit slices.
-
-    Two frames within Hamming < ``bands`` share at least one slice
-    (pigeonhole), so candidate recall is guaranteed at that radius and
-    probabilistic beyond it. Frame position is deliberately NOT part of
-    the key — a trimmed copy's surviving frames still collide.
-
-    All built-ins (explode + shiftrightunsigned/AND), whole-stage
-    codegen; distinct bounds a video's bucket contributions."""
+def _band_slices(h, bands: int):
+    """array<struct<band,key>>: a 64-bit hash split into ``bands``
+    disjoint bit slices. Two hashes within Hamming < bands share at
+    least one slice (pigeonhole). Pure built-ins
+    (shiftrightunsigned/AND), whole-stage codegen."""
     assert 64 % bands == 0, "bands must divide 64"
     width = 64 // bands
     mask = (1 << width) - 1
-    h = F.col("h")
-    slices = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
@@ -156,10 +149,19 @@ def frame_band_rows(fps: DataFrame, bands: int = 4) -> DataFrame:
             for b in range(bands)
         ]
     )
+
+
+def frame_band_rows(fps: DataFrame, bands: int = 4) -> DataFrame:
+    """Fingerprints -> distinct (video_id, band, key) LSH rows: every
+    sampled frame hash split into ``bands`` disjoint bit slices
+    (candidate recall guaranteed within Hamming < bands, see
+    _band_slices). Frame position is deliberately NOT part of the key —
+    a trimmed copy's surviving frames still collide. distinct bounds a
+    video's bucket contributions."""
     return (
         fps.filter(F.col("frame_hashes").isNotNull())
         .select("video_id", F.explode("frame_hashes").alias("h"))
-        .select("video_id", F.explode(slices).alias("s"))
+        .select("video_id", F.explode(_band_slices(F.col("h"), bands)).alias("s"))
         .select("video_id", F.col("s.band").alias("band"),
                 F.col("s.key").alias("key"))
         .distinct()
@@ -369,3 +371,85 @@ def video_dedup_report(
         "clusters": clusters,
         "tiers": tiers,
     }
+
+
+def frames_matching_images(
+    fps: DataFrame,
+    images: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 4,
+    image_bucket_cap: int = 1024,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Cross-modal containment probe: which corpus IMAGES appear as
+    (near-)frames of which VIDEOS — the dedup question a multimodal
+    training pipeline asks before keeping both a video and stills
+    extracted from it.
+
+    fps: video_fingerprints output (or a materialized fingerprint
+    stage); images: any frame with (id_col, phash_col) — the corpus
+    images table already carries phash (schemas.IMAGES_SCHEMA).
+
+    Output: (video_id, frame_pos, image_id, hamming) — one row per
+    matching (sampled frame, image) pair with Hamming(frame_phash,
+    image_phash) <= max_hamming. frame_pos is the SAMPLE position
+    (0..n_frames-1), not the source frame index.
+
+    Scale shape: both sides band into (band, key) buckets via
+    _band_slices (recall guaranteed within Hamming < bands); the
+    image side is capped per bucket with a min-id witness — the
+    cross_dedup.cross_corpus_matches cap rule: a hash-aggregate joined
+    back, never a window, so nothing sorts the band frames. The verify
+    is bit_count over the XOR (codegen, zero UDFs), and only
+    cross-side pairs are ever generated."""
+    v_rows = (
+        fps.filter(F.col("frame_hashes").isNotNull())
+        .select(
+            "video_id",
+            F.posexplode("frame_hashes").alias("frame_pos", "h"),
+        )
+        .select(
+            "video_id", "frame_pos", "h",
+            F.explode(_band_slices(F.col("h"), bands)).alias("s"),
+        )
+        .select("video_id", "frame_pos", "h",
+                F.col("s.band").alias("band"), F.col("s.key").alias("key"))
+    )
+    i_rows = (
+        images.filter(F.col(phash_col).isNotNull())
+        .select(
+            F.col(id_col).alias("image_id"),
+            F.col(phash_col).alias("ph"),
+            F.explode(_band_slices(F.col(phash_col), bands)).alias("s"),
+        )
+        .select("image_id", "ph",
+                F.col("s.band").alias("band"), F.col("s.key").alias("key"))
+        # two consumers (bucket stats + join back) — cut so the explode
+        # chain computes once
+        .localCheckpoint(eager=False)
+    )
+    i_stats = i_rows.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("n"), F.min("image_id").alias("mn")
+    )
+    i_capped = (
+        i_rows.join(i_stats, ["band", "key"])
+        .filter(
+            (F.col("n") <= image_bucket_cap)
+            | (F.col("image_id") == F.col("mn"))
+        )
+        .select("band", "key", "image_id", "ph")
+    )
+    return (
+        v_rows.join(i_capped.hint("shuffle_hash"), ["band", "key"])
+        .filter(
+            F.bit_count(F.col("h").bitwiseXOR(F.col("ph"))) <= max_hamming
+        )
+        .select(
+            "video_id",
+            "frame_pos",
+            "image_id",
+            F.bit_count(F.col("h").bitwiseXOR(F.col("ph"))).alias("hamming"),
+        )
+        .dropDuplicates(["video_id", "frame_pos", "image_id"])
+    )

@@ -202,3 +202,57 @@ def test_payload_never_shuffled(corpus):
     plan = fps._jdf.queryExecution().executedPlan().toString()
     head = plan.split("FlatMapGroupsInPandas")[0].split("MapInPandas")[0]
     assert "Exchange" not in head
+
+
+def test_frames_matching_images(spark, corpus):
+    """Cross-modal probe: images that ARE frames of videos match at
+    hamming 0 with the right sample position; noised copies match at
+    small hamming; unrelated images don't match."""
+    from ordinarydumpdeduplicator_spark.operators.video_dedup import (
+        frames_matching_images,
+    )
+    from ordinarydumpdeduplicator_spark.functions.phash import phash64
+
+    fa = _frames("a")  # v00/v01's frames (10 frames, 8 sampled)
+    rng = _rng(7, "imgnoise")
+    noised = np.clip(
+        fa[0].astype(np.int16)
+        + rng.integers(-1, 2, size=fa[0].shape, dtype=np.int16),
+        0, 255,
+    ).astype(np.uint8)
+    img_rows = [
+        ("img_exact", int(phash64(fa[0]))),      # == sampled frame 0
+        ("img_mid", int(phash64(fa[5]))),        # == a later sampled frame
+        ("img_noised", int(phash64(noised))),    # near frame 0
+        ("img_unrelated", int(phash64(_make_pixels(_rng(7, "other"), W, H)))),
+    ]
+    images = spark.createDataFrame(img_rows, "image_id string, phash long")
+    fps = video_fingerprints(corpus, n_frames=8)
+    m = frames_matching_images(fps, images, max_hamming=3).toPandas()
+    got = {(r.video_id, r.frame_pos, r.image_id): r.hamming
+           for r in m.itertuples()}
+    # exact frame matches in BOTH byte-identical videos at position 0
+    assert got[("v00", 0, "img_exact")] == 0
+    assert got[("v01", 0, "img_exact")] == 0
+    # frame 5 of the source is sampled (10 frames -> stride keeps 0,5 among
+    # positions); find it at hamming 0 in v00
+    assert any(v == 0 and k[0] == "v00" and k[2] == "img_mid"
+               for k, v in got.items())
+    assert any(k[2] == "img_noised" and k[0] in ("v00", "v01") and v <= 3
+               for k, v in got.items())
+    assert not any(k[2] == "img_unrelated" for k in got)
+
+
+def test_frames_matching_images_plan_has_no_python(spark, corpus):
+    """The cross-modal probe is built-ins end-to-end after the
+    fingerprint pass: no Python eval nodes below the band join."""
+    from ordinarydumpdeduplicator_spark.operators.video_dedup import (
+        frames_matching_images,
+    )
+    images = spark.createDataFrame(
+        [("i", 1)], "image_id string, phash long"
+    )
+    fps = video_fingerprints(corpus, n_frames=8).localCheckpoint(eager=False)
+    df = frames_matching_images(fps, images)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
