@@ -326,3 +326,28 @@ def decode_avi_rgb(data: bytes) -> list:
         rows = rows.reshape(int(h), row_size)[:, : int(w) * 3]
         frames.append(rows.reshape(int(h), int(w), 3)[::-1, :, ::-1].copy())
     return frames
+
+
+def encode_wav(x, sr: int = 8000, sampwidth: int = 2) -> bytes:
+    """Synthesize a PCM RIFF/WAVE payload from a float waveform in
+    [-1, 1] with the stdlib writer (mono; 1/2/4-byte PCM) — the encode
+    twin of operators/multimodal.decode_wav."""
+    import io
+    import wave as _wave
+
+    x = np.clip(np.asarray(x, dtype=np.float64), -1.0, 1.0)
+    if sampwidth == 1:
+        pcm = np.round(x * 127 + 128).astype("u1")
+    elif sampwidth == 2:
+        pcm = np.round(x * 32767).astype("<i2")
+    elif sampwidth == 4:
+        pcm = np.round(x * 2147483647).astype("<i4")
+    else:
+        raise ValueError(f"unsupported sample width {sampwidth}")
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()

@@ -26,14 +26,10 @@ strict=False emits clearly-marked deterministic fake frame hashes
 Scale shape (the 100 TB question): fingerprinting is ONE mapInPandas
 pass over the payload column — bytes never enter a shuffle; only
 (video_id, <= n_frames int64 hashes) does, a ~100-byte row regardless of
-video size. Candidates come through lsh.pairs_from_buckets (bucket caps
-with star-edge fallback + `capped` marker), so pair volume is bounded;
-each 64-bit frame hash splits into ``bands`` sub-keys, guaranteeing any
-frame pair within Hamming < bands shares a bucket (pigeonhole) and
-probabilistically catching more. Verify cost is linear in the candidate
-count (<= n_frames^2 64-bit XORs per pair, pure built-ins inside
-whole-stage codegen — no Python in the verify hot path).
-The CC edge frame is orders of magnitude below corpus size.
+video size. Everything after the decode pass is the modality-agnostic
+built-ins core in operators/segment_dedup.py (banded LSH with bucket
+caps, codegen bit_count verify, CC, tier attribution) — shared with the
+audio chain (operators/audio_dedup.py).
 """
 
 from __future__ import annotations
@@ -47,9 +43,13 @@ from pyspark.sql import functions as F
 
 from ..fixtures import codecs
 from ..functions.phash import phash64
-from .connected_components import connected_components
-from .lsh import pairs_from_buckets
-from .tiers import tier_attribution
+from .segment_dedup import (
+    band_slices as _band_slices,
+    segment_band_rows,
+    segment_dedup_report,
+    segment_near_pairs,
+    tier_precedence,
+)
 
 VIDEO_FP_SCHEMA = (
     "video_id string, status string, file_sha string, "
@@ -57,7 +57,7 @@ VIDEO_FP_SCHEMA = (
 )
 
 # strongest identity first — same contract as tiers.IMAGE_TIER_PRECEDENCE
-VIDEO_TIER_PRECEDENCE = ["exact", "frame_exact", "frame_near"]
+VIDEO_TIER_PRECEDENCE = tier_precedence("frame")
 
 
 def video_fingerprints(
@@ -130,66 +130,12 @@ def video_fingerprints(
     )
 
 
-def _band_slices(h, bands: int):
-    """array<struct<band,key>>: a 64-bit hash split into ``bands``
-    disjoint bit slices. Two hashes within Hamming < bands share at
-    least one slice (pigeonhole). Pure built-ins
-    (shiftrightunsigned/AND), whole-stage codegen."""
-    assert 64 % bands == 0, "bands must divide 64"
-    width = 64 // bands
-    mask = (1 << width) - 1
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(h, b * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("key"),
-            )
-            for b in range(bands)
-        ]
-    )
-
-
 def frame_band_rows(fps: DataFrame, bands: int = 4) -> DataFrame:
-    """Fingerprints -> distinct (video_id, band, key) LSH rows: every
-    sampled frame hash split into ``bands`` disjoint bit slices
-    (candidate recall guaranteed within Hamming < bands, see
-    _band_slices). Frame position is deliberately NOT part of the key —
-    a trimmed copy's surviving frames still collide. distinct bounds a
-    video's bucket contributions."""
-    return (
-        fps.filter(F.col("frame_hashes").isNotNull())
-        .select("video_id", F.explode("frame_hashes").alias("h"))
-        .select("video_id", F.explode(_band_slices(F.col("h"), bands)).alias("s"))
-        .select("video_id", F.col("s.band").alias("band"),
-                F.col("s.key").alias("key"))
-        .distinct()
+    """Fingerprints -> distinct (video_id, band, key) LSH rows — see
+    segment_dedup.segment_band_rows."""
+    return segment_band_rows(
+        fps, bands=bands, id_col="video_id", hashes_col="frame_hashes"
     )
-
-
-def _match_frac_expr(ha, hb, max_hamming: int):
-    """Column expression: symmetric frame-match fraction
-    (|a-frames with a Hamming<=r match in b| + |b-frames with a match in
-    a|) / (|a| + |b|). Robust to trims and frame drops — an identical
-    copy scores 1.0, a half-trimmed copy ~2/3.
-
-    Pure built-ins (higher-order array filter/exists + bit_count on the
-    XOR), so the verify stays inside whole-stage codegen — no Arrow
-    round-trip for <= n_frames^2 64-bit popcounts per pair."""
-    ha, hb = F.col(ha) if isinstance(ha, str) else ha, (
-        F.col(hb) if isinstance(hb, str) else hb
-    )
-    r = F.lit(max_hamming)
-
-    def matched(xs, ys):
-        return F.size(
-            F.filter(
-                xs, lambda x: F.exists(ys, lambda y: F.bit_count(x.bitwiseXOR(y)) <= r)
-            )
-        )
-
-    return (matched(ha, hb) + matched(hb, ha)) / (F.size(ha) + F.size(hb))
 
 
 def video_near_pairs(
@@ -200,109 +146,17 @@ def video_near_pairs(
     bucket_cap: int = 64,
 ) -> DataFrame:
     """Fingerprints -> verified near-dup pairs
-    (src, dst, match_frac, capped), src < dst.
-
-    Candidate generation reuses lsh.pairs_from_buckets (hash-agg bucket
-    stats, caps + star-edge fallback, shuffle-hash self-join — the exact
-    machinery the text/caption chains run at scale); verification joins
-    the two skinny hash arrays back and scores each pair with built-in
-    higher-order array expressions (codegen; zero UDFs). The fingerprint frame is tiny relative
-    to any real corpus, so AQE broadcasts it into the verify joins."""
-    cand = pairs_from_buckets(
-        frame_band_rows(fps, bands=bands),
-        id_col="video_id",
+    (src, dst, match_frac, capped), src < dst — see
+    segment_dedup.segment_near_pairs."""
+    return segment_near_pairs(
+        fps,
+        bands=bands,
+        max_hamming=max_hamming,
+        min_match_frac=min_match_frac,
         bucket_cap=bucket_cap,
+        id_col="video_id",
+        hashes_col="frame_hashes",
     )
-    sig = fps.filter(F.col("frame_hashes").isNotNull()).select(
-        "video_id", "frame_hashes"
-    )
-    a = sig.select(
-        F.col("video_id").alias("src"), F.col("frame_hashes").alias("ha")
-    )
-    b = sig.select(
-        F.col("video_id").alias("dst"), F.col("frame_hashes").alias("hb")
-    )
-    return (
-        cand.join(a, "src")
-        .join(b, "dst")
-        .withColumn(
-            "match_frac", _match_frac_expr("ha", "hb", max_hamming)
-        )
-        .filter(F.col("match_frac") >= min_match_frac)
-        .select("src", "dst", "match_frac", "capped")
-    )
-
-
-def _star_edges(
-    rows: DataFrame, key_cols: list[str], kind: str
-) -> DataFrame:
-    """Star edges (hub member -> member) within each multi-member group
-    keyed by ``key_cols`` — the linear-size clique representation.
-
-    Hub selection is a TWO-phase numeric aggregate: ``min(string)`` has a
-    var-length aggregation buffer, which forces SortAggregate — a
-    per-partition sort of the ENTIRE fingerprint frame by the group key
-    (measured in the executed plan). Aggregating ``min(xxhash64(id))``
-    stays HashAggregate; the hub's actual id string is then resolved on
-    the hash-min candidate frame (~1 row per multi-member group, min(id)
-    tie-breaks the negligible within-group hash collisions — its
-    SortAggregate touches only that tiny frame). The hub choice is
-    arbitrary-but-deterministic; connected components relabels with the
-    component-min id regardless, so cluster output is hub-invariant.
-    Explicit repartition on the key feeds the aggregate and both join
-    probes from ONE exchange (exact_dedup.exact_clusters' pattern)."""
-    rows = rows.withColumn("_h", F.xxhash64("video_id")).repartition(
-        *key_cols
-    )
-    groups = (
-        rows.groupBy(*key_cols)
-        .agg(F.min("_h").alias("_hmin"), F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-    )
-    hubs = (
-        rows.join(groups.hint("shuffle_hash"), key_cols)
-        .filter(F.col("_h") == F.col("_hmin"))
-        .groupBy(*key_cols)
-        .agg(F.min("video_id").alias("mn"))
-    )
-    return (
-        rows.join(hubs.hint("shuffle_hash"), key_cols)
-        .filter(F.col("video_id") != F.col("mn"))
-        .select(
-            F.col("mn").alias("src"),
-            F.col("video_id").alias("dst"),
-            F.lit(kind).alias("kind"),
-        )
-    )
-
-
-def video_edges(fps: DataFrame, **near_kwargs) -> DataFrame:
-    """All three edge families over one fingerprint frame, tagged with
-    `kind` for tier attribution (precedence: VIDEO_TIER_PRECEDENCE)."""
-    exact = _star_edges(
-        fps.filter(F.col("file_sha").isNotNull()).select(
-            "video_id", "file_sha"
-        ),
-        ["file_sha"],
-        "exact",
-    )
-    # ordered frame signature: ',' never occurs in a decimal int64, so
-    # concat_ws is injective on hash sequences
-    frame_sig = fps.filter(F.col("status") == "ok").select(
-        "video_id",
-        F.sha2(
-            F.concat_ws(
-                ",",
-                F.transform(F.col("frame_hashes"), lambda x: x.cast("string")),
-            ),
-            256,
-        ).alias("sig"),
-    )
-    frame_exact = _star_edges(frame_sig, ["sig"], "frame_exact")
-    near = video_near_pairs(
-        fps.filter(F.col("status") == "ok"), **near_kwargs
-    ).select("src", "dst", F.lit("frame_near").alias("kind"))
-    return exact.unionByName(frame_exact).unionByName(near)
 
 
 def video_dedup_report(
@@ -327,50 +181,21 @@ def video_dedup_report(
 
     Returns {"fingerprints", "edges", "clusters", "tiers"}; clusters is
     (video_id, cluster_id, is_dup)."""
-    if fingerprints is not None:
-        fps = fingerprints
-    else:
-        # LAZY cut: the fingerprint frame feeds SIX consumers (exact +
-        # frame_exact group keys, band rows, both verify join sides, the
-        # clusters left side) — without it each consumer re-runs the
-        # decode+phash mapInPandas pass (same rationale as
-        # lsh.pairs_from_buckets' checkpoint; production passes a
-        # materialized `fingerprints=` stage instead)
-        fps = video_fingerprints(
-            video, n_frames=n_frames, strict=strict
-        ).localCheckpoint(eager=False)
-    # edges also feeds two consumers (CC + tier attribution) — without a
-    # cut the LSH->verify chain executes once per consumer (seen in the
-    # executed plan as duplicated aggregate subtrees)
-    edges = video_edges(
+    fps = (
+        fingerprints
+        if fingerprints is not None
+        else video_fingerprints(video, n_frames=n_frames, strict=strict)
+    )
+    return segment_dedup_report(
         fps,
+        id_col="video_id",
+        hashes_col="frame_hashes",
+        prefix="frame",
         bands=bands,
         max_hamming=max_hamming,
         min_match_frac=min_match_frac,
         bucket_cap=bucket_cap,
-    ).localCheckpoint(eager=False)
-    assign = connected_components(edges.select("src", "dst"))
-    assign = assign.select(
-        F.col("image_id").alias("video_id"), "cluster_id"
     )
-    clusters = (
-        fps.select("video_id")
-        .join(assign, "video_id", "left")
-        .select(
-            "video_id",
-            F.coalesce("cluster_id", "video_id").alias("cluster_id"),
-            F.col("cluster_id").isNotNull().alias("is_dup"),
-        )
-    )
-    tiers = tier_attribution(
-        clusters, edges, VIDEO_TIER_PRECEDENCE, id_col="video_id"
-    )
-    return {
-        "fingerprints": fps,
-        "edges": edges,
-        "clusters": clusters,
-        "tiers": tiers,
-    }
 
 
 def frames_matching_images(
@@ -397,7 +222,7 @@ def frames_matching_images(
     (0..n_frames-1), not the source frame index.
 
     Scale shape: both sides band into (band, key) buckets via
-    _band_slices (recall guaranteed within Hamming < bands); the
+    band_slices (recall guaranteed within Hamming < bands); the
     image side is capped per bucket with a min-id witness — the
     cross_dedup.cross_corpus_matches cap rule: a hash-aggregate joined
     back, never a window, so nothing sorts the band frames. The verify
