@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_BENCH_IMAGES = int(os.environ.get("ODD_BENCH_IMAGES", "40000"))
 N_BENCH_VIDEOS = int(os.environ.get("ODD_BENCH_VIDEOS", "4000"))
+N_BENCH_AUDIO = int(os.environ.get("ODD_BENCH_AUDIO", "8000"))
 
 
 def _time(fn) -> float:
@@ -228,6 +229,28 @@ def main() -> None:
         N_BENCH_VIDEOS / timings["videos_dedup"], 1
     )
 
+    # audio-modality dedup: decode+spectral-hash -> banded LSH -> verify
+    # -> CC -> tiers over a pre-materialized planted WAV corpus
+    from ordinarydumpdeduplicator_spark.fixtures.generator import (
+        spark_audio_df,
+    )
+    from ordinarydumpdeduplicator_spark.operators.audio_dedup import (
+        audio_dedup_report,
+    )
+
+    audio_path = os.path.join(data_dir, f"audio_{N_BENCH_AUDIO}")
+    if not os.path.exists(os.path.join(audio_path, "_SUCCESS")):
+        spark_audio_df(spark, N_BENCH_AUDIO).write.mode(
+            "overwrite"
+        ).parquet(audio_path)
+    clips = spark.read.parquet(audio_path)
+    timings["audio_dedup"] = _time(
+        lambda: audio_dedup_report(clips, min_match_frac=0.4)["tiers"].count()
+    )
+    timings["audio_per_sec"] = round(
+        N_BENCH_AUDIO / timings["audio_dedup"], 1
+    )
+
     wall, wall_cold, n_assigned = bench_images_pipeline(
         spark, N_BENCH_IMAGES, data_dir
     )
@@ -240,7 +263,8 @@ def main() -> None:
             v
             for k, v in timings.items()
             if k not in (
-                "images_per_sec", "images_pipeline_cold", "videos_per_sec"
+                "images_per_sec", "images_pipeline_cold",
+                "videos_per_sec", "audio_per_sec",
             )
         ),
         3,

@@ -414,3 +414,58 @@ def spark_videos_df(spark, n: int, seed: int = 42, partitions: int | None = None
     return spark.range(0, n, numPartitions=num_parts).mapInPandas(
         gen_batches, schema=schema
     )
+
+
+def gen_audio_row(i: int, seed: int = 42, n: int = 16384, sr: int = 8000) -> dict:
+    """Deterministic planted-class audio row (broadband colored noise +
+    slow envelope — see tests/test_audio_dedup for why broadband).
+    Units of two; unit % 10 picks the class: 0 -> byte-identical pair,
+    1 -> re-encoded pair (16-bit vs 32-bit PCM of the same waveform),
+    2 -> near pair (two 2048-sample segments trimmed + light noise),
+    else two independent unique clips."""
+    from . import codecs
+
+    unit, member = i // 2, i % 2
+    cls = unit % 10
+    key = ("u", unit) if cls in (0, 1, 2) else ("s", i)
+    rng = _rng(seed, "audclip", *key)
+    x = rng.standard_normal(n + 64)
+    kern = rng.standard_normal(48) * np.hanning(48)
+    x = np.convolve(x, kern, mode="same")[:n]
+    t = np.arange(n) / sr
+    env = 0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(0.5, 2.0) * t)
+    x = x * env
+    x = x / (np.abs(x).max() + 1e-9) * 0.8
+    sampwidth = 2
+    if member == 1 and cls == 1:
+        sampwidth = 4
+    elif member == 1 and cls == 2:
+        nrng = _rng(seed, "audnoise", *key)
+        x = x[2 * 2048:] + nrng.normal(0, 0.002, n - 2 * 2048)
+    data = codecs.encode_wav(x, sr, sampwidth)
+    cls_name = {0: "exact", 1: "reenc", 2: "near"}.get(cls, "unique")
+    return dict(audio_id=f"a{i:09d}", bytes=data, _class=cls_name, _unit=unit)
+
+
+def spark_audio_df(spark, n: int, seed: int = 42, partitions: int | None = None):
+    """Distributed deterministic audio corpus (same pattern as
+    spark_videos_df)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+    ])
+
+    def gen_batches(iterator):
+        for pdf in iterator:
+            recs = [gen_audio_row(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(
+                [(r["audio_id"], r["bytes"]) for r in recs],
+                columns=["audio_id", "bytes"],
+            )
+
+    num_parts = partitions or spark.sparkContext.defaultParallelism
+    return spark.range(0, n, numPartitions=num_parts).mapInPandas(
+        gen_batches, schema=schema
+    )

@@ -175,6 +175,21 @@ def main() -> None:
     lines += [f"- executed: {s}" for s in summarize_executed(executed)]
     lines += ["", "```", executed, "```", ""]
 
+    from ordinarydumpdeduplicator_spark.fixtures.generator import (
+        spark_audio_df,
+    )
+    from ordinarydumpdeduplicator_spark.operators.audio_dedup import (
+        audio_dedup_report,
+    )
+
+    adf = audio_dedup_report(spark_audio_df(spark, 400))["tiers"]
+    plan = plan_text(adf)
+    executed = executed_plan_text(adf)
+    lines += ["## audio_dedup (tiers output; bench key, no SQL oracle)", ""]
+    lines += [f"- {s}" for s in summarize(plan)]
+    lines += [f"- executed: {s}" for s in summarize_executed(executed)]
+    lines += ["", "```", executed, "```", ""]
+
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {out_path}")
