@@ -297,3 +297,92 @@ def segment_dedup_report(
         "clusters": clusters,
         "tiers": tiers,
     }
+
+
+def segment_novelty(
+    batch_fps: DataFrame,
+    ref_fps: DataFrame,
+    id_col: str = "video_id",
+    hashes_col: str = "frame_hashes",
+    bands: int = 4,
+    max_hamming: int = 6,
+    min_match_frac: float = 0.5,
+    ref_bucket_cap: int = 1024,
+) -> DataFrame:
+    """Incremental media dedup: one row per BATCH item with its novelty
+    verdict against a REFERENCE fingerprint snapshot — the media twin of
+    cross_dedup.cross_corpus_matches (text) for ingest pipelines that
+    hold yesterday's fingerprints as a materialized stage.
+
+    Output: (<id_col>, match_ref_id, match_frac, is_novel) —
+    match_ref_id is the smallest reference id whose item verified as a
+    near-duplicate (byte-exact and re-encoded copies score 1.0 and are
+    caught too, since identical hashes match at Hamming 0); NULL if none
+    -> is_novel true. Batch items with no usable hashes (broken /
+    unreadable) match nothing and are novel, same rule as the text chain.
+
+    Scale shape: only CROSS-side candidate pairs are generated (batch
+    bands join reference bands — never batch x batch or ref x ref); the
+    reference side is bucket-capped with a min-id witness (hash-agg +
+    join back, nothing sorts the band frames); verify is the codegen
+    bit_count match fraction; the min-match argmin is one hash
+    aggregate via min_by over (frac packed desc, ref_id asc)."""
+    b_rows = segment_band_rows(
+        batch_fps, bands=bands, id_col=id_col, hashes_col=hashes_col
+    ).withColumnRenamed(id_col, "_bid")
+    r_rows = (
+        segment_band_rows(
+            ref_fps, bands=bands, id_col=id_col, hashes_col=hashes_col
+        )
+        .withColumnRenamed(id_col, "_rid")
+        # two consumers (bucket stats + join back) — cut once
+        .localCheckpoint(eager=False)
+    )
+    r_stats = r_rows.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("n"), F.min("_rid").alias("mn")
+    )
+    r_capped = (
+        r_rows.join(r_stats, ["band", "key"])
+        .filter((F.col("n") <= ref_bucket_cap) | (F.col("_rid") == F.col("mn")))
+        .select("band", "key", "_rid")
+    )
+    cands = (
+        b_rows.join(r_capped.hint("shuffle_hash"), ["band", "key"])
+        .select("_bid", "_rid")
+        .dropDuplicates(["_bid", "_rid"])
+    )
+    bh = batch_fps.filter(F.col(hashes_col).isNotNull()).select(
+        F.col(id_col).alias("_bid"), F.col(hashes_col).alias("ha")
+    )
+    rh = ref_fps.filter(F.col(hashes_col).isNotNull()).select(
+        F.col(id_col).alias("_rid"), F.col(hashes_col).alias("hb")
+    )
+    verified = (
+        cands.join(bh, "_bid")
+        .join(rh, "_rid")
+        .withColumn("match_frac", match_frac_expr("ha", "hb", max_hamming))
+        .filter(F.col("match_frac") >= min_match_frac)
+        .select("_bid", "_rid", "match_frac")
+    )
+    # smallest ref id among the BEST-matching refs per batch item: pack
+    # (frac desc, id asc) into one min_by ordering — frac is a ratio of
+    # small ints so 1e-9 quantization cannot reorder distinct values,
+    # and the string id tie-break rides in the struct
+    best = verified.groupBy("_bid").agg(
+        F.min_by(
+            F.struct("match_frac", "_rid"),
+            F.struct(
+                (-F.col("match_frac")).alias("nf"), F.col("_rid").alias("i")
+            ),
+        ).alias("m")
+    )
+    return (
+        batch_fps.select(id_col)
+        .join(best.withColumnRenamed("_bid", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.col("m._rid").alias("match_ref_id"),
+            F.col("m.match_frac").alias("match_frac"),
+            F.col("m").isNull().alias("is_novel"),
+        )
+    )

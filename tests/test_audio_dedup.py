@@ -152,3 +152,26 @@ def test_empty_input(spark):
     empty = spark.createDataFrame([], "audio_id string, bytes binary")
     r = audio_dedup_report(empty)
     assert r["tiers"].count() == 0
+
+
+def test_segment_novelty_audio(spark, corpus):
+    """The same incremental verdict operator over audio fingerprints."""
+    from ordinarydumpdeduplicator_spark.fixtures.codecs import encode_wav
+    from ordinarydumpdeduplicator_spark.operators.segment_dedup import (
+        segment_novelty,
+    )
+
+    ref = audio_fingerprints(corpus)
+    batch_rows = [
+        ("b_reenc", encode_wav(_tone("a"), SR, 4)),   # a00 re-encoded
+        ("b_new", encode_wav(_tone("zz"), SR, 2)),
+    ]
+    batch = audio_fingerprints(
+        spark.createDataFrame(batch_rows, "audio_id string, bytes binary")
+    )
+    out = {r.audio_id: r for r in segment_novelty(
+        batch, ref, id_col="audio_id", hashes_col="segment_hashes"
+    ).collect()}
+    assert not out["b_reenc"].is_novel
+    assert out["b_reenc"].match_ref_id in ("a00", "a01")
+    assert out["b_new"].is_novel

@@ -256,3 +256,31 @@ def test_frames_matching_images_plan_has_no_python(spark, corpus):
     df = frames_matching_images(fps, images)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_segment_novelty_video(spark, corpus):
+    """Incremental dedup: a batch of (copy of v00's content re-muxed,
+    trimmed+noised copy of v06's content, genuinely new video) against
+    the corpus fingerprints as the reference snapshot."""
+    from ordinarydumpdeduplicator_spark.operators.segment_dedup import (
+        segment_novelty,
+    )
+
+    ref = video_fingerprints(corpus, n_frames=8)
+    batch_rows = [
+        ("b_remux", codecs.encode_avi_rgb(_frames("a"), fps=30)),
+        ("b_near", codecs.encode_avi_rgb(_noise(_frames("d"), "d")[1:], fps=10)),
+        ("b_new", codecs.encode_avi_rgb(_frames("zz"), fps=10)),
+        ("b_broken", None),
+    ]
+    batch = video_fingerprints(
+        spark.createDataFrame(batch_rows, "video_id string, bytes binary"),
+        n_frames=8,
+    )
+    out = {r.video_id: r for r in segment_novelty(batch, ref).collect()}
+    assert not out["b_remux"].is_novel
+    assert out["b_remux"].match_ref_id in ("v00", "v01")
+    assert out["b_remux"].match_frac == 1.0
+    assert not out["b_near"].is_novel and out["b_near"].match_ref_id == "v06"
+    assert out["b_new"].is_novel and out["b_new"].match_ref_id is None
+    assert out["b_broken"].is_novel
