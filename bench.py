@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 N_BENCH_IMAGES = int(os.environ.get("ODD_BENCH_IMAGES", "40000"))
 N_BENCH_VIDEOS = int(os.environ.get("ODD_BENCH_VIDEOS", "4000"))
 N_BENCH_AUDIO = int(os.environ.get("ODD_BENCH_AUDIO", "8000"))
+N_BENCH_REGION_IMAGES = int(os.environ.get("ODD_BENCH_REGION_IMAGES", "20000"))
 
 
 def _time(fn) -> float:
@@ -251,6 +252,32 @@ def main() -> None:
         N_BENCH_AUDIO / timings["audio_dedup"], 1
     )
 
+    # region-level image dedup: one decode pass -> dihedral-canonical
+    # pixel digests + per-tile pHashes -> banded LSH -> verify -> CC ->
+    # tiers over a pre-materialized planted corpus (rotations/flips +
+    # watermark/banner local edits)
+    from ordinarydumpdeduplicator_spark.fixtures.generator import (
+        spark_region_images_df,
+    )
+    from ordinarydumpdeduplicator_spark.operators.image_region_dedup import (
+        image_region_dedup_report,
+    )
+
+    region_path = os.path.join(
+        data_dir, f"region_images_{N_BENCH_REGION_IMAGES}"
+    )
+    if not os.path.exists(os.path.join(region_path, "_SUCCESS")):
+        spark_region_images_df(spark, N_BENCH_REGION_IMAGES).write.mode(
+            "overwrite"
+        ).parquet(region_path)
+    region_imgs = spark.read.parquet(region_path)
+    timings["images_region_dedup"] = _time(
+        lambda: image_region_dedup_report(region_imgs)["tiers"].count()
+    )
+    timings["images_region_per_sec"] = round(
+        N_BENCH_REGION_IMAGES / timings["images_region_dedup"], 1
+    )
+
     wall, wall_cold, n_assigned = bench_images_pipeline(
         spark, N_BENCH_IMAGES, data_dir
     )
@@ -265,6 +292,7 @@ def main() -> None:
             if k not in (
                 "images_per_sec", "images_pipeline_cold",
                 "videos_per_sec", "audio_per_sec",
+                "images_region_per_sec",
             )
         ),
         3,

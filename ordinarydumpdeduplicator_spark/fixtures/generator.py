@@ -416,6 +416,86 @@ def spark_videos_df(spark, n: int, seed: int = 42, partitions: int | None = None
     )
 
 
+def gen_region_image_row(
+    i: int,
+    seed: int = 42,
+    size: tuple[int, int] = (64, 48),  # _make_pixels wants 8|w, 6|h
+) -> dict:
+    """Deterministic planted-class row for region-level image dedup
+    (operators/image_region_dedup.py). Images come in units of two
+    (unit = i//2, member = i%2); unit % 10 picks the class:
+    0 -> byte-identical pair, 1 -> dihedral pair (member 1 is a
+    rotated/flipped copy, stored in a DIFFERENT container), 2 ->
+    watermark pair (member 1 has its top-left quadrant inverted — a
+    heavy local edit, tile-aligned at grid=4), 3 -> banner pair
+    (member 1's bottom quarter replaced with a per-unit noise strip, a
+    caption-banner edit), else two independent unique images. 4/10 of
+    units are therefore dup pairs."""
+    from . import codecs
+
+    unit, member = i // 2, i % 2
+    cls = unit % 10
+    w, h = size
+    key = ("u", unit) if cls in (0, 1, 2, 3) else ("s", i)
+    pixels = _make_pixels(_rng(seed, "regimg", *key), w, h)
+    fmt = "png"
+    if member == 1:
+        if cls == 1:
+            # cycle through the 7 non-identity dihedral elements per unit:
+            # (flip?, rot90 quarter-turns)
+            flip, k = [
+                (False, 1), (False, 2), (False, 3),
+                (True, 0), (True, 1), (True, 2), (True, 3),
+            ][unit % 7]
+            if flip:
+                pixels = pixels[:, ::-1]
+            pixels = np.rot90(pixels, k)
+            fmt = "bmp"
+        elif cls == 2:
+            pixels = pixels.copy()
+            pixels[: h // 2, : w // 2] = 255 - pixels[: h // 2, : w // 2]
+        elif cls == 3:
+            # per-unit noise strip: a CONSTANT banner would phash to the
+            # same value for every unit (all-zero DCT coefficients) and
+            # hot-bucket the band join across unrelated units
+            pixels = pixels.copy()
+            strip = _rng(seed, "banner", unit).integers(
+                0, 256, size=(h - h * 3 // 4, w, 3), dtype=np.int64
+            ).astype(np.uint8)
+            pixels[h * 3 // 4 :, :] = strip
+    data = codecs.encode(np.ascontiguousarray(pixels), fmt)
+    cls_name = {0: "exact", 1: "dihedral", 2: "watermark", 3: "banner"}.get(
+        cls, "unique"
+    )
+    return dict(image_id=f"r{i:09d}", bytes=data, _class=cls_name, _unit=unit)
+
+
+def spark_region_images_df(
+    spark, n: int, seed: int = 42, partitions: int | None = None
+):
+    """Distributed deterministic region-dedup image corpus (same pattern
+    as spark_videos_df: each partition generates its own id range)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+    ])
+
+    def gen_batches(iterator):
+        for pdf in iterator:
+            recs = [gen_region_image_row(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(
+                [(r["image_id"], r["bytes"]) for r in recs],
+                columns=["image_id", "bytes"],
+            )
+
+    num_parts = partitions or spark.sparkContext.defaultParallelism
+    return spark.range(0, n, numPartitions=num_parts).mapInPandas(
+        gen_batches, schema=schema
+    )
+
+
 def gen_audio_row(i: int, seed: int = 42, n: int = 16384, sr: int = 8000) -> dict:
     """Deterministic planted-class audio row (broadband colored noise +
     slow envelope — see tests/test_audio_dedup for why broadband).

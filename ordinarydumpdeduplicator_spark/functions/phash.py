@@ -179,6 +179,44 @@ def dhash64(pixels: np.ndarray) -> int:
     return _dhash_from_small(_area_mean_resample_fp(g, _integral_fp(g), 8, 9))
 
 
+def tile_phashes(pixels: np.ndarray, grid: int = 4) -> list[int]:
+    """grid x grid per-tile 64-bit pHashes (row-major), ONE gray
+    conversion + ONE integral image shared by every tile: tile (ty, tx)'s
+    32x32 area-mean downsample is gathered straight from the full-image
+    integral by offsetting its bin edges into the tile rectangle, so the
+    only per-tile work is a (33x33) gather plus the 32x32 DCT.
+
+    Tile boundaries come from ``_bin_edges(h, grid)`` — deterministic and
+    total (uneven dimensions distribute the remainder), and each tile's
+    hash is bit-identical to ``phash64(pixels[y0:y1, x0:x1])`` because the
+    offset bin edges reproduce exactly that crop's resample bins.
+
+    Used by operators/image_region_dedup.py: per-tile hashes keep identity
+    evidence in the tiles a local edit (watermark, banner, caption box)
+    did NOT touch, where the global pHash mixes the edit into every
+    coefficient and can exceed any usable Hamming radius."""
+    g = _gray_fp(pixels)
+    csum = _integral_fp(g)
+    h, w = g.shape
+    ylo, yhi = _bin_edges(h, grid)
+    xlo, xhi = _bin_edges(w, grid)
+    out: list[int] = []
+    for ty in range(grid):
+        y0, y1 = _bin_edges(int(yhi[ty] - ylo[ty]), 32)
+        y0, y1 = y0 + ylo[ty], y1 + ylo[ty]
+        for tx in range(grid):
+            x0, x1 = _bin_edges(int(xhi[tx] - xlo[tx]), 32)
+            x0, x1 = x0 + xlo[tx], x1 + xlo[tx]
+            c11 = csum[np.ix_(y1, x1)].astype(np.int64)
+            c01 = csum[np.ix_(y0, x1)].astype(np.int64)
+            c10 = csum[np.ix_(y1, x0)].astype(np.int64)
+            c00 = csum[np.ix_(y0, x0)].astype(np.int64)
+            s = (c11 - c01) - (c10 - c00)
+            area = np.outer(y1 - y0, x1 - x0).astype(np.float64)
+            out.append(_phash_from_g32(s / (area * 256.0)))
+    return out
+
+
 def gray_features(pixels: np.ndarray) -> tuple[int, int, float, float]:
     """(phash64, dhash64, gray_mean, gray_std) in ONE pass: the RGB->gray
     conversion and the integral image are computed once and shared by both
