@@ -409,6 +409,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", "neighbor_id", "rank"
         )
 
+    # ----- corpus-level audits + training-order (round-3 additions) -----
+
+    def q_source_overlap_minhash(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.corpus_stats import (
+            source_overlap_minhash,
+        )
+
+        return source_overlap_minhash(_docs(spark, sf))
+
+    def q_cross_source_dup_matrix(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.corpus_stats import (
+            cross_source_dup_matrix,
+        )
+
+        # The driver corpus has no exact copies spanning sources, so the
+        # matrix would be trivially empty — plant deterministic mirrors
+        # (negative ids, 'mirror_<source>'; oracle shadows the same CTE,
+        # same precedent as the tier cascade's _aug_docs). %21 docs get
+        # TWO mirror copies so cross_pairs > shared_groups is exercised.
+        d = _docs(spark, sf).select("doc_id", "text", "source")
+        msrc = F.concat(F.lit("mirror_"), F.col("source")).alias("source")
+        single = d.filter(F.col("doc_id") % 9 == 0).select(
+            (-(F.col("doc_id") * 4 + 1)).alias("doc_id"), "text", msrc
+        )
+        twin_a = d.filter(F.col("doc_id") % 21 == 0).select(
+            (-(F.col("doc_id") * 4 + 2)).alias("doc_id"), "text", msrc
+        )
+        twin_b = d.filter(F.col("doc_id") % 21 == 0).select(
+            (-(F.col("doc_id") * 4 + 3)).alias("doc_id"), "text", msrc
+        )
+        aug = d.unionByName(single).unionByName(twin_a).unionByName(twin_b)
+        return cross_source_dup_matrix(aug)
+
+    def q_training_order(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.sampling import (
+            training_order,
+        )
+
+        return training_order(_docs(spark, sf), n_shards=64)
+
     # ----- exact-substring + semantic dedup (training-pipeline ops) -----
 
     def q_exact_substring_spans(spark, sf):
@@ -811,6 +851,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- newly oracled this round (r02 rows were err: no_oracle) --
         "ivf_topk": q_ivf_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
+        # -- new this round (no prior CORRECTNESS row exists) --
+        "source_overlap_minhash": q_source_overlap_minhash,
+        "cross_source_dup_matrix": q_cross_source_dup_matrix,
+        "training_order": q_training_order,
         # -- dedup / tier / LLM-pipeline core (green in r02) --
         "exact_text_groups": q_exact_text_groups,
         "dup_text_groups": q_dup_text_groups,
@@ -1414,6 +1458,11 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_topk": osql.ivf_pq_topk_sql(
             _ivf_cents, _ivf_books, k=3, n_probe=8, refine=4
         ),
+        "source_overlap_minhash": osql.source_overlap_minhash_sql(),
+        "cross_source_dup_matrix": osql.cross_source_dup_matrix_sql(
+            augmented=True
+        ),
+        "training_order": osql.training_order_sql(n_shards=64),
         "exact_substring_spans": f"SELECT * FROM ({_substring_spans_sql(8)})",
         "substring_dup_stats": f"""
             WITH toks AS (

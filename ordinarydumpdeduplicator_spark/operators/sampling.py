@@ -374,3 +374,41 @@ def dsir_importance_weights(
             ),
         )
     )
+
+
+def training_order(
+    df: DataFrame,
+    n_shards: int = 1024,
+    salt: str = "order",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + shard/position assignment for
+    training-data writing.
+
+    Every document gets a pseudo-random but fully reproducible
+    ``(shard, pos)``: shard = 60-bit salted MD5 draw mod ``n_shards``,
+    pos = 1-based rank within the shard by a second independent salted
+    digest (doc_id ASC tie-break — MD5 collisions on distinct keys are
+    negligible but the ordering must be total either way). Re-running on
+    the same corpus yields byte-identical shard files; changing ``salt``
+    reshuffles globally — the epoch-reshuffle story.
+
+    Physical shape at 100 TB: ONE hash-partition exchange on ``shard``
+    plus an in-partition sort — exactly the layout a sharded training-set
+    writer needs (`.repartition("shard")` feeding
+    ``partitionBy("shard")`` with rows already in position order), so the
+    assignment is free on top of the write job.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(hash60(F.col(id_col), salt + ":shard"), F.lit(n_shards)).alias(
+            "shard"
+        ),
+        _salted_digest(F.col(id_col), salt + ":pos").alias("_rank_digest"),
+    )
+    w = Window.partitionBy("shard").orderBy("_rank_digest", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

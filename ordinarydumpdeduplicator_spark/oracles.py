@@ -974,3 +974,102 @@ def semantic_dedup_sql(cents, threshold: float) -> str:
            (d.vec_id IS NULL) AS is_kept
     FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
     """
+
+
+# ------------------------------------------------------- corpus-stats audits
+
+
+def source_overlap_minhash_sql() -> str:
+    """operators/corpus_stats.source_overlap_minhash: per-source union
+    MinHash sketch (min over ALL shingle hashes of the source — equal to
+    the engine's min-over-docs of per-doc minima) -> pairwise agreement
+    estimator. Same coefficient literals / HUGEINT math as the per-doc
+    minhash CTEs."""
+    alist = _hugeint_list(_A)
+    blist = _hugeint_list(_B)
+    return f"""
+    WITH toks AS (
+      SELECT source, {_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT source,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                      for i in range(1, len(toks) - 1)])
+             END AS sh
+      FROM toks WHERE len(toks) > 0
+    ),
+    shr AS (
+      SELECT source, md5_number_lower(unnest(sh))::HUGEINT AS h FROM sh
+    ),
+    coeff AS (
+      SELECT unnest(range(1, {NUM_HASHES + 1})) AS j,
+             unnest({alist}) AS a, unnest({blist}) AS b
+    ),
+    sk AS MATERIALIZED (
+      SELECT source, coeff.j,
+             min(((coeff.a * shr.h + coeff.b) % {_MOD64}) // 4294967296)
+               AS v
+      FROM shr CROSS JOIN coeff GROUP BY source, coeff.j
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+           sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END)::DOUBLE
+             / {NUM_HASHES} AS est_jaccard
+    FROM sk a JOIN sk b ON a.j = b.j AND a.source < b.source
+    GROUP BY a.source, b.source
+    """
+
+
+def cross_source_dup_matrix_sql(augmented: bool = False) -> str:
+    """operators/corpus_stats.cross_source_dup_matrix: per-(sha, source)
+    counts -> unordered source pairs sharing a content group.
+
+    ``augmented`` shadows the documents view with the planted cross-source
+    mirrors of __spark_entry__.q_cross_source_dup_matrix (the driver corpus
+    has no exact copies spanning sources)."""
+    aug = """
+    documents AS (
+      SELECT doc_id, text, source FROM main.documents
+      UNION ALL
+      SELECT -(doc_id * 4 + 1) AS doc_id, text, 'mirror_' || source AS source
+      FROM main.documents WHERE doc_id % 9 = 0
+      UNION ALL
+      SELECT -(doc_id * 4 + 2) AS doc_id, text, 'mirror_' || source AS source
+      FROM main.documents WHERE doc_id % 21 = 0
+      UNION ALL
+      SELECT -(doc_id * 4 + 3) AS doc_id, text, 'mirror_' || source AS source
+      FROM main.documents WHERE doc_id % 21 = 0
+    ),""" if augmented else ""
+    return f"""
+    WITH {aug} counts AS (
+      SELECT sha256({_norm_text()}) AS content_sha, source,
+             count(*) AS n
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*)::BIGINT AS shared_groups,
+           sum(a.n * b.n)::BIGINT AS cross_pairs
+    FROM counts a
+    JOIN counts b ON a.content_sha = b.content_sha AND a.source < b.source
+    GROUP BY a.source, b.source
+    """
+
+
+def training_order_sql(n_shards: int = 64, salt: str = "order") -> str:
+    """operators/sampling.training_order: salted-MD5 shard draw (hash60 %
+    n_shards) + rank within shard by an independent salted digest."""
+    return f"""
+    SELECT doc_id, shard,
+           row_number() OVER (
+             PARTITION BY shard ORDER BY rd, doc_id)::BIGINT AS pos
+    FROM (
+      SELECT doc_id,
+             ('0x' || substr(
+                md5('{salt}:shard:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % {n_shards} AS shard,
+             md5('{salt}:pos:' || doc_id::VARCHAR) AS rd
+      FROM documents
+    )
+    """

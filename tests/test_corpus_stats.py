@@ -1,0 +1,139 @@
+"""Source-level corpus audits (operators/corpus_stats.py) + deterministic
+training order (operators/sampling.training_order).
+
+Semantics pinned against pure-python oracles on hand-built corpora; the
+DuckDB value-parity for the three contract queries lives in
+tests/test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ordinarydumpdeduplicator_spark.functions.minhash import (
+    NUM_HASHES,
+    minhash_signature,
+)
+from ordinarydumpdeduplicator_spark.operators.corpus_stats import (
+    cross_source_dup_matrix,
+    source_minhash_sketches,
+    source_overlap_minhash,
+)
+from ordinarydumpdeduplicator_spark.operators.sampling import training_order
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def test_source_sketch_equals_union_minhash(spark):
+    """Per-source sketch == minhash of the CONCATENATED... no: of the
+    union shingle set == elementwise min of per-doc signatures."""
+    texts = {
+        "a": ["red fox jumps over", "lazy dog sleeps here now"],
+        "b": ["red fox jumps over", "completely different caption words"],
+    }
+    rows = []
+    i = 0
+    for src, ts in texts.items():
+        for t in ts:
+            rows.append((i, t, src))
+            i += 1
+    sk = source_minhash_sketches(_docs(spark, rows)).collect()
+    got = {}
+    for r in sk:
+        got.setdefault(r["source"], {})[r["j"]] = r["v"]
+    for src, ts in texts.items():
+        sigs = np.array([minhash_signature(t) for t in ts], dtype=np.int64)
+        expected = sigs.min(axis=0)
+        assert len(got[src]) == NUM_HASHES
+        for j in range(NUM_HASHES):
+            assert got[src][j] == expected[j], (src, j)
+
+
+def test_source_overlap_identical_and_disjoint(spark):
+    rows = [
+        (1, "red fox jumps over the dog", "s1"),
+        (2, "blue whale swims in the sea", "s1"),
+        (3, "red fox jumps over the dog", "s2"),
+        (4, "blue whale swims in the sea", "s2"),
+        (5, "granite mountain stands alone tonight", "s3"),
+    ]
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_minhash(_docs(spark, rows)).collect()
+    }
+    assert out[("s1", "s2")]["n_agree"] == NUM_HASHES
+    assert out[("s1", "s2")]["est_jaccard"] == 1.0
+    # disjoint shingle sets: agreement only by hash accident (~0)
+    assert out[("s1", "s3")]["est_jaccard"] < 0.2
+    assert out[("s2", "s3")]["est_jaccard"] < 0.2
+
+
+def test_source_overlap_skips_shingle_free_sources(spark):
+    rows = [
+        (1, "some real text here", "s1"),
+        (2, None, "empty_src"),
+        (3, "   ", "empty_src"),
+    ]
+    out = source_overlap_minhash(_docs(spark, rows)).collect()
+    assert out == []  # no pair rows — empty_src has no sketch
+
+
+def test_cross_source_dup_matrix_counts(spark):
+    rows = [
+        (1, "shared text one", "s1"),
+        (2, "shared text one", "s1"),  # two copies in s1
+        (3, "shared text one", "s2"),  # one in s2 -> cross_pairs 2*1
+        (4, "shared text two", "s1"),
+        (5, "shared text two", "s2"),  # second shared group, 1*1
+        (6, "only in s1", "s1"),
+        (7, None, "s2"),
+    ]
+    out = cross_source_dup_matrix(_docs(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("s1", "s2")
+    assert r["shared_groups"] == 2
+    assert r["cross_pairs"] == 2 * 1 + 1 * 1
+
+
+def test_cross_source_dup_matrix_normalizes_text(spark):
+    rows = [
+        (1, "Hello   World", "s1"),
+        (2, "hello world", "s2"),
+    ]
+    out = cross_source_dup_matrix(_docs(spark, rows)).collect()
+    assert len(out) == 1 and out[0]["shared_groups"] == 1
+
+
+def test_training_order_is_deterministic_permutation(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "s") for i in range(500)],
+        "doc_id long, text string, source string",
+    )
+    a = training_order(docs, n_shards=16)
+    rows = a.collect()
+    assert len(rows) == 500
+    assert {r["doc_id"] for r in rows} == set(range(500))
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r["shard"] < 16
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # deterministic re-run
+    b = {(r["doc_id"], r["shard"], r["pos"]) for r in a.collect()}
+    assert b == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+    # a different salt reshuffles (at least one doc moves)
+    c = training_order(docs, n_shards=16, salt="epoch2").collect()
+    moved = sum(
+        1
+        for r, s in zip(
+            sorted(rows, key=lambda r: r["doc_id"]),
+            sorted(c, key=lambda r: r["doc_id"]),
+        )
+        if (r["shard"], r["pos"]) != (s["shard"], s["pos"])
+    )
+    assert moved > 400

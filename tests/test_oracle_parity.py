@@ -253,3 +253,27 @@ def test_semantic_dedup_oracle(spark, subset_dir, duck):
     assert df.where("NOT is_kept").count() > 0, "subset lost all drops"
     cents = o.semantic_oracle_centroids(subset_dir)
     _assert_parity(df, duck, o.semantic_dedup_sql(cents, threshold=0.4))
+
+
+def test_source_overlap_minhash_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+
+    df = e.queries()["source_overlap_minhash"](spark, subset_dir)
+    assert df.count() > 0
+    _assert_parity(df, duck, e.oracle_sql()["source_overlap_minhash"])
+
+
+def test_cross_source_dup_matrix_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+
+    df = e.queries()["cross_source_dup_matrix"](spark, subset_dir)
+    assert df.count() > 0, "planted mirrors lost"
+    _assert_parity(df, duck, e.oracle_sql()["cross_source_dup_matrix"])
+
+
+def test_training_order_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+
+    df = e.queries()["training_order"](spark, subset_dir)
+    assert df.count() == 150
+    _assert_parity(df, duck, e.oracle_sql()["training_order"])
