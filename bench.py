@@ -160,6 +160,9 @@ def main() -> None:
         "curation_funnel",
         # C4 line-filter recipe over synthesized pages
         "c4_clean",
+        # round 3: source-pair overlap sketch + deterministic shard order
+        "source_overlap_minhash",
+        "training_order",
     ]
     for name in headline:
         fn = qs[name]
