@@ -449,6 +449,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return training_order(_docs(spark, sf), n_shards=64)
 
+    def q_leakage_safe_split(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.sampling import (
+            leakage_safe_split,
+        )
+
+        return leakage_safe_split(_docs(spark, sf), test_fraction=0.2)
+
     # ----- exact-substring + semantic dedup (training-pipeline ops) -----
 
     def q_exact_substring_spans(spark, sf):
@@ -855,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_minhash": q_source_overlap_minhash,
         "cross_source_dup_matrix": q_cross_source_dup_matrix,
         "training_order": q_training_order,
+        "leakage_safe_split": q_leakage_safe_split,
         # -- dedup / tier / LLM-pipeline core (green in r02) --
         "exact_text_groups": q_exact_text_groups,
         "dup_text_groups": q_dup_text_groups,
@@ -1463,6 +1471,9 @@ def oracle_sql() -> dict[str, str]:
             augmented=True
         ),
         "training_order": osql.training_order_sql(n_shards=64),
+        "leakage_safe_split": osql.leakage_safe_split_sql(
+            test_fraction=0.2
+        ),
         "exact_substring_spans": f"SELECT * FROM ({_substring_spans_sql(8)})",
         "substring_dup_stats": f"""
             WITH toks AS (

@@ -412,3 +412,39 @@ def training_order(
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    test_fraction: float = 0.1,
+    salt: str = "split",
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup-aware train/test split: the holdout draw happens per
+    CLUSTER, not per document, so no near-duplicate pair ever straddles
+    the boundary (the eval-leakage failure mode a per-doc split has by
+    construction — a paraphrase of a test doc lands in train and the
+    benchmark silently memorizes).
+
+    Clusters default to the full fuzzy chain
+    (text_dedup.near_dup_text_clusters); production passes the pipeline's
+    materialized assignment frame instead (same injection contract as
+    tiers.dedup_tier_stats), making the split itself a map-only salted-MD5
+    predicate on ``cluster_id`` — every member of a cluster hashes the
+    same id, hence lands on the same side, with the holdout mass within
+    any scale-up factor of ``test_fraction`` by the uniformity of the
+    digest draw."""
+    if clusters is None:
+        from .text_dedup import near_dup_text_clusters
+
+        clusters = near_dup_text_clusters(docs)
+    thr = F.lit(fraction_to_hex_threshold(test_fraction))
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(
+            _salted_digest(F.col("cluster_id"), salt) < thr, F.lit("test")
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -1073,3 +1073,20 @@ def training_order_sql(n_shards: int = 64, salt: str = "order") -> str:
       FROM documents
     )
     """
+
+
+def leakage_safe_split_sql(
+    test_fraction: float = 0.1, salt: str = "split"
+) -> str:
+    """operators/sampling.leakage_safe_split over the fuzzy cluster
+    closure: per-cluster salted-MD5 holdout draw on top of
+    near_dup_text_clusters_sql."""
+    from .operators.sampling import fraction_to_hex_threshold
+
+    thr = fraction_to_hex_threshold(test_fraction)
+    return f"""
+    SELECT doc_id, cluster_id,
+           CASE WHEN md5('{salt}:' || cluster_id::VARCHAR) < '{thr}'
+                THEN 'test' ELSE 'train' END AS split
+    FROM ({near_dup_text_clusters_sql()})
+    """

@@ -28,8 +28,8 @@ def _docs(spark, rows):
 
 
 def test_source_sketch_equals_union_minhash(spark):
-    """Per-source sketch == minhash of the CONCATENATED... no: of the
-    union shingle set == elementwise min of per-doc signatures."""
+    """Per-source sketch == elementwise min of the per-doc signatures
+    (the minhash of the union shingle set)."""
     texts = {
         "a": ["red fox jumps over", "lazy dog sleeps here now"],
         "b": ["red fox jumps over", "completely different caption words"],
@@ -137,3 +137,49 @@ def test_training_order_is_deterministic_permutation(spark):
         if (r["shard"], r["pos"]) != (s["shard"], s["pos"])
     )
     assert moved > 400
+
+
+def test_leakage_safe_split_cluster_atomicity(spark):
+    from ordinarydumpdeduplicator_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    # near-dup family: shared long prefix -> same cluster
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + f" tail{i % 3}", "s") for i in range(30)]
+    rows += [(100 + i, f"unique document number {i} about topic {i}", "s")
+             for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = leakage_safe_split(docs, test_fraction=0.3).collect()
+    assert len(out) == len(rows)
+    by_cluster: dict[int, set[str]] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    # no cluster straddles the boundary
+    assert all(len(s) == 1 for s in by_cluster.values())
+    sides = {r["split"] for r in out}
+    assert sides == {"train", "test"}
+    # deterministic
+    again = leakage_safe_split(docs, test_fraction=0.3).collect()
+    assert {(r["doc_id"], r["split"]) for r in again} == {
+        (r["doc_id"], r["split"]) for r in out
+    }
+
+
+def test_leakage_safe_split_accepts_precomputed_clusters(spark):
+    from ordinarydumpdeduplicator_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id long, cluster_id long"
+    )
+    out = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            None, test_fraction=0.5, clusters=clusters
+        ).collect()
+    }
+    assert out[1] == out[2]  # same cluster, same side

@@ -277,3 +277,11 @@ def test_training_order_oracle(spark, subset_dir, duck):
     df = e.queries()["training_order"](spark, subset_dir)
     assert df.count() == 150
     _assert_parity(df, duck, e.oracle_sql()["training_order"])
+
+
+def test_leakage_safe_split_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+
+    df = e.queries()["leakage_safe_split"](spark, subset_dir)
+    assert df.count() == 150
+    _assert_parity(df, duck, e.oracle_sql()["leakage_safe_split"])
