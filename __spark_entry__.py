@@ -456,6 +456,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return leakage_safe_split(_docs(spark, sf), test_fraction=0.2)
 
+    def q_dedup_pair_metrics(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.dedup_eval import (
+            dedup_pair_metrics,
+        )
+        from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+            near_dup_text_clusters,
+        )
+
+        docs = _docs(spark, sf)
+        # proxy golden label set: identical-text pairs (what a planted
+        # corpus labels for free); production passes its eval pair table
+        a = docs.select(F.col("doc_id").alias("id_a"), "text")
+        b = docs.select(F.col("doc_id").alias("id_b"), "text")
+        golden = a.join(b, "text").where(F.col("id_a") < F.col("id_b"))
+        return dedup_pair_metrics(near_dup_text_clusters(docs), golden)
+
     # ----- exact-substring + semantic dedup (training-pipeline ops) -----
 
     def q_exact_substring_spans(spark, sf):
@@ -863,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dup_matrix": q_cross_source_dup_matrix,
         "training_order": q_training_order,
         "leakage_safe_split": q_leakage_safe_split,
+        "dedup_pair_metrics": q_dedup_pair_metrics,
         # -- dedup / tier / LLM-pipeline core (green in r02) --
         "exact_text_groups": q_exact_text_groups,
         "dup_text_groups": q_dup_text_groups,
@@ -1474,6 +1491,7 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_split": osql.leakage_safe_split_sql(
             test_fraction=0.2
         ),
+        "dedup_pair_metrics": osql.dedup_pair_metrics_sql(),
         "exact_substring_spans": f"SELECT * FROM ({_substring_spans_sql(8)})",
         "substring_dup_stats": f"""
             WITH toks AS (

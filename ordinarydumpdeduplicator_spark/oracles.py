@@ -1090,3 +1090,38 @@ def leakage_safe_split_sql(
                 THEN 'test' ELSE 'train' END AS split
     FROM ({near_dup_text_clusters_sql()})
     """
+
+
+def dedup_pair_metrics_sql() -> str:
+    """operators/dedup_eval.dedup_pair_metrics over the fuzzy closure,
+    with the contract's proxy golden set: pairs of documents with
+    IDENTICAL text (definitionally duplicates — the label set any planted
+    corpus gives for free). Predicted pairs fold cluster sizes with
+    integer DIV, hits join the golden pairs back to both endpoints'
+    assignments."""
+    return f"""
+    WITH assign AS MATERIALIZED ({near_dup_text_clusters_sql()}),
+    golden AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM documents a
+      JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
+    ),
+    ng AS (SELECT count(*)::BIGINT AS n_golden FROM golden),
+    pred AS (
+      SELECT sum((n * (n - 1)) // 2)::BIGINT AS n_predicted
+      FROM (SELECT count(*)::BIGINT AS n FROM assign GROUP BY cluster_id)
+    ),
+    hit AS (
+      SELECT count(*)::BIGINT AS n_hit
+      FROM golden g
+      JOIN assign ca ON g.id_a = ca.doc_id
+      JOIN assign cb ON g.id_b = cb.doc_id
+      WHERE ca.cluster_id = cb.cluster_id
+    )
+    SELECT n_golden, n_predicted, n_hit,
+           CASE WHEN n_golden > 0
+                THEN n_hit::DOUBLE / n_golden END AS pair_recall,
+           CASE WHEN n_predicted > 0
+                THEN n_hit::DOUBLE / n_predicted END AS pair_precision
+    FROM ng, pred, hit
+    """

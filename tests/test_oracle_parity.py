@@ -285,3 +285,10 @@ def test_leakage_safe_split_oracle(spark, subset_dir, duck):
     df = e.queries()["leakage_safe_split"](spark, subset_dir)
     assert df.count() == 150
     _assert_parity(df, duck, e.oracle_sql()["leakage_safe_split"])
+
+
+def test_dedup_pair_metrics_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+
+    df = e.queries()["dedup_pair_metrics"](spark, subset_dir)
+    _assert_parity(df, duck, e.oracle_sql()["dedup_pair_metrics"])

@@ -180,6 +180,26 @@ def test_cluster_representatives_no_sha_sort(spark, queries):
     assert "HashAggregate" in plan
 
 
+def test_leakage_safe_split_injected_is_map_only(spark, tmp_path):
+    """With the pipeline's materialized cluster assignment injected (the
+    production shape — same contract as dedup_tier_stats), the split is a
+    pure per-row salted-digest predicate: no Exchange, no Python worker,
+    one codegen'd scan+project."""
+    from ordinarydumpdeduplicator_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    path = str(tmp_path / "clusters")
+    spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "doc_id long, cluster_id long"
+    ).write.parquet(path)
+    plan = plan_of(
+        leakage_safe_split(None, test_fraction=0.2, clusters=spark.read.parquet(path))
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
 def test_dup_size_histogram_two_aggregates_no_join(spark, queries):
     plan = plan_of(queries["dup_size_histogram"](spark, SF))
     assert "Join" not in plan and "Window" not in plan

@@ -57,6 +57,9 @@ HEADLINE = [
     "dsir_weights",
     "curation_funnel",
     "c4_clean",
+    "source_overlap_minhash",
+    "training_order",
+    "leakage_safe_split",
 ]
 
 
