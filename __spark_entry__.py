@@ -456,6 +456,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return leakage_safe_split(_docs(spark, sf), test_fraction=0.2)
 
+    def q_fuzzy_decontamination(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.decontamination import (
+            fuzzy_decontaminate,
+        )
+
+        d = _docs(spark, sf)
+        # same stand-in eval split as the exact decontamination entry
+        return fuzzy_decontaminate(
+            d.where(F.col("doc_id") % 10 != 0),
+            d.where(F.col("doc_id") % 10 == 0),
+        )
+
     def q_dedup_pair_metrics(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.dedup_eval import (
             dedup_pair_metrics,
@@ -880,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": q_training_order,
         "leakage_safe_split": q_leakage_safe_split,
         "dedup_pair_metrics": q_dedup_pair_metrics,
+        "fuzzy_decontamination": q_fuzzy_decontamination,
         # -- dedup / tier / LLM-pipeline core (green in r02) --
         "exact_text_groups": q_exact_text_groups,
         "dup_text_groups": q_dup_text_groups,
@@ -1492,6 +1505,7 @@ def oracle_sql() -> dict[str, str]:
             test_fraction=0.2
         ),
         "dedup_pair_metrics": osql.dedup_pair_metrics_sql(),
+        "fuzzy_decontamination": osql.fuzzy_decontamination_sql(),
         "exact_substring_spans": f"SELECT * FROM ({_substring_spans_sql(8)})",
         "substring_dup_stats": f"""
             WITH toks AS (

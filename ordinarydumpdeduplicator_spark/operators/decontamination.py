@@ -111,3 +111,47 @@ def decontaminate(
             ),
         )
     )
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **cross_kwargs,
+) -> DataFrame:
+    """NEAR-duplicate decontamination: flag training documents that are
+    fuzzy near-dups of any eval document, not just exact n-gram hits.
+
+    Exact n-gram membership (:func:`decontaminate`) misses light
+    paraphrases — reworded benchmark answers share few verbatim 8-grams
+    but keep high shingle Jaccard / a long common substring. The
+    published fuzzy recipes (GPT-3 appendix C's 13-gram+fuzzy pass; the
+    Pile's near-dup decontamination) run exactly this shape: candidate
+    pairs between train and eval via MinHash-LSH, then exact
+    Jaccard/LCS verification.
+
+    One row per ``train`` document: (doc_id, matched_eval_id,
+    contaminated) — matched_eval_id is the smallest eval id verified as
+    a near-duplicate (NULL -> clean).
+
+    Delegates to cross_dedup.cross_corpus_matches with TRAIN as the
+    probed batch and the EVAL set as the reference snapshot, inheriting
+    its scale shape: cross-side-only candidate joins (never train x
+    train), the eval side bucket-capped to a min-id witness, train
+    payloads never shuffled past the skinny band rows. Unlike the exact
+    pass there is no broadcast shortcut — the LSH index of the eval set
+    plays that role (band rows of a benchmark suite are tiny, and the
+    shuffle-hash join streams the training bands past them once).
+    ``**cross_kwargs`` forward to cross_corpus_matches
+    (jaccard_threshold, lcs_ratio, ref_bucket_cap)."""
+    from .cross_dedup import cross_corpus_matches
+
+    m = cross_corpus_matches(
+        train, eval_docs, id_col=id_col, text_col=text_col, **cross_kwargs
+    )
+    return m.select(
+        "doc_id",
+        F.col("match_ref_id").alias("matched_eval_id"),
+        F.col("match_ref_id").isNotNull().alias("contaminated"),
+    )

@@ -154,19 +154,23 @@ def cross_corpus_novel_sql(
     jaccard_threshold: float = 0.5,
     lcs_ratio: float = 0.6,
     ref_cap: int = DEFAULT_BUCKET_CAP,
+    is_batch_expr: str | None = None,
 ) -> str:
     """operators/cross_dedup.cross_corpus_matches over a deterministic
     split of `documents`: batch = doc_id % batch_mod == 0, reference =
-    the rest. Bands reuse the in-corpus CTE chain (same signature math on
+    the rest (``is_batch_expr`` overrides the batch-side predicate —
+    fuzzy_decontamination_sql flips it so the TRAIN split is the batch).
+    Bands reuse the in-corpus CTE chain (same signature math on
     every document); the reference side of each (band, slice) bucket is
     capped with the engine's standard rule (over-cap buckets collapse to
     their min-id witness); candidates are CROSS-side only; verification
     is the near_dup_text_pairs jaccard-or-LCS rule; the match witness is
     the numeric-min verified reference id."""
+    pred = is_batch_expr or f"doc_id % {batch_mod} = 0"
     return f"""
     WITH {_minhash_band_ctes()},
     sides AS (
-      SELECT doc_id::VARCHAR AS id, doc_id % {batch_mod} = 0 AS is_batch
+      SELECT doc_id::VARCHAR AS id, {pred} AS is_batch
       FROM documents
     ),
     rb AS (
@@ -219,7 +223,7 @@ def cross_corpus_novel_sql(
     SELECT d.doc_id, cmatch.match_ref_id,
            cmatch.match_ref_id IS NULL AS is_novel
     FROM documents d LEFT JOIN cmatch ON d.doc_id::VARCHAR = cmatch.src
-    WHERE d.doc_id % {batch_mod} = 0
+    WHERE {pred}
     """
 
 
@@ -1124,4 +1128,19 @@ def dedup_pair_metrics_sql() -> str:
            CASE WHEN n_predicted > 0
                 THEN n_hit::DOUBLE / n_predicted END AS pair_precision
     FROM ng, pred, hit
+    """
+
+
+def fuzzy_decontamination_sql(eval_mod: int = 10, **kwargs) -> str:
+    """operators/decontamination.fuzzy_decontaminate over the exact-decon
+    contract split (train = doc_id % eval_mod != 0, eval = the rest):
+    cross_corpus_novel_sql with the batch predicate flipped so TRAIN is
+    the probed side, relabeled to the decontamination verdict columns."""
+    inner = cross_corpus_novel_sql(
+        is_batch_expr=f"doc_id % {eval_mod} != 0", **kwargs
+    )
+    return f"""
+    SELECT doc_id, match_ref_id AS matched_eval_id,
+           match_ref_id IS NOT NULL AS contaminated
+    FROM ({inner})
     """

@@ -66,3 +66,45 @@ def test_decontaminate_eval_side_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     # and with broadcast_eval=False the same op still resolves (shuffle path)
     assert decontaminate(train, ev, n=4, broadcast_eval=False).count() == 200
+
+
+def test_fuzzy_decontaminate_catches_paraphrase(spark):
+    from ordinarydumpdeduplicator_spark.operators.decontamination import (
+        fuzzy_decontaminate,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog every single day "
+        "while the patient gray owl watches from the tall oak tree near "
+        "the quiet river bank waiting for the evening light"
+    )
+    # one word changed: 3 of ~30 trigram shingles differ -> jaccard ~0.85,
+    # far above both the LSH detection knee and the 0.5 verify threshold
+    # (a one-word change in a ~10-word text sits AT 0.5, where banded
+    # detection is a coin flip by design)
+    paraphrase = base.replace("lazy dog", "lazy cat")
+    eval_docs = spark.createDataFrame(
+        [(100, base)], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # verbatim copy of the eval doc
+            (1, base),
+            # light paraphrase
+            (2, paraphrase),
+            # unrelated
+            (3, "completely different topic about spark physical plans"),
+            # null text: no shingles, clean by rule
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.contaminated, r.matched_eval_id)
+        for r in fuzzy_decontaminate(train, eval_docs).collect()
+    }
+    assert out[1] == (True, 100)
+    assert out[2] == (True, 100)
+    assert out[3] == (False, None)
+    assert out[4] == (False, None)
+    assert len(out) == 4

@@ -292,3 +292,11 @@ def test_dedup_pair_metrics_oracle(spark, subset_dir, duck):
 
     df = e.queries()["dedup_pair_metrics"](spark, subset_dir)
     _assert_parity(df, duck, e.oracle_sql()["dedup_pair_metrics"])
+
+
+def test_fuzzy_decontamination_oracle(spark, subset_dir, duck):
+    import __spark_entry__ as e
+
+    df = e.queries()["fuzzy_decontamination"](spark, subset_dir)
+    assert df.count() == 135  # 150 docs minus the 15 eval ids
+    _assert_parity(df, duck, e.oracle_sql()["fuzzy_decontamination"])
