@@ -163,6 +163,9 @@ def main() -> None:
         # round 3: source-pair overlap sketch + deterministic shard order
         "source_overlap_minhash",
         "training_order",
+        # round 3 session 5: pair-level dedup evaluation + fuzzy decon
+        "dedup_pair_metrics",
+        "fuzzy_decontamination",
     ]
     for name in headline:
         fn = qs[name]
