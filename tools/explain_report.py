@@ -60,6 +60,8 @@ HEADLINE = [
     "source_overlap_minhash",
     "training_order",
     "leakage_safe_split",
+    "dedup_pair_metrics",
+    "fuzzy_decontamination",
 ]
 
 
