@@ -67,6 +67,12 @@ QUERIES = [
     "c4_clean",
     "latest_event_per_user",
     "user_sessions",
+    # round-3 session-4/5 additions
+    "source_overlap_minhash",
+    "training_order",
+    "leakage_safe_split",
+    "dedup_pair_metrics",
+    "fuzzy_decontamination",
 ]
 
 
