@@ -183,3 +183,23 @@ def test_leakage_safe_split_accepts_precomputed_clusters(spark):
         ).collect()
     }
     assert out[1] == out[2]  # same cluster, same side
+
+
+def test_leakage_safe_split_holdout_mass(spark):
+    """The salted-digest draw lands the CLUSTER holdout fraction near
+    test_fraction (binomial over clusters; wide tolerance, zero flake:
+    seed-fixed ids make this deterministic)."""
+    from ordinarydumpdeduplicator_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    clusters = spark.createDataFrame(
+        [(i, i) for i in range(2000)], "doc_id long, cluster_id long"
+    )
+    out = leakage_safe_split(None, test_fraction=0.2, clusters=clusters)
+    n_test = out.where("split = 'test'").count()
+    # E=400, sd=sqrt(2000*0.2*0.8)~17.9; +-6 sd
+    assert 290 <= n_test <= 510, n_test
+    # fraction parameter 0 -> nothing held out
+    none_out = leakage_safe_split(None, test_fraction=0.0, clusters=clusters)
+    assert none_out.where("split = 'test'").count() == 0
