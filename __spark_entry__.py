@@ -704,6 +704,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return near_dup_text_clusters(_docs(spark, sf))
 
+    def q_near_soft_dedup_weights(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+            near_soft_dedup_weights,
+        )
+
+        return near_soft_dedup_weights(_docs(spark, sf))
+
+    def q_top_reclaimable_clusters(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+            top_reclaimable_clusters,
+        )
+
+        return top_reclaimable_clusters(_docs(spark, sf))
+
     # The testdata documents have fuzzy near-dups but no raw-exact copies,
     # case/whitespace variants or empty rows — plant them in-plan so the
     # driver gate exercises every cascade tier. Mirrored exactly by
@@ -893,6 +907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "dedup_pair_metrics": q_dedup_pair_metrics,
         "fuzzy_decontamination": q_fuzzy_decontamination,
+        "near_soft_dedup_weights": q_near_soft_dedup_weights,
+        "top_reclaimable_clusters": q_top_reclaimable_clusters,
         # -- dedup / tier / LLM-pipeline core (green in r02) --
         "exact_text_groups": q_exact_text_groups,
         "dup_text_groups": q_dup_text_groups,
@@ -1462,6 +1478,38 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates": osql.minhash_candidates_sql(),
         "near_dup_text_pairs": osql.near_dup_text_pairs_sql(),
         "near_dup_text_clusters": osql.near_dup_text_clusters_sql(),
+        "near_soft_dedup_weights": f"""
+            SELECT doc_id, cluster_id, n_members,
+                   1.0::DOUBLE / n_members AS weight,
+                   doc_id = cluster_id AS is_canonical
+            FROM ({osql.near_dup_text_clusters_sql()})
+        """,
+        "top_reclaimable_clusters": f"""
+            WITH cl AS ({osql.near_dup_text_clusters_sql()}),
+            j AS (
+              SELECT cl.doc_id, cl.cluster_id,
+                     length(d.text)::BIGINT AS n_chars
+              FROM cl JOIN documents d USING (doc_id)
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY cluster_id
+                ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM j
+            ),
+            g AS (
+              SELECT cluster_id, count(*)::BIGINT AS n_members,
+                     sum(n_chars)::BIGINT AS all_chars
+              FROM j GROUP BY cluster_id
+            )
+            SELECT g.cluster_id, g.n_members, g.all_chars,
+                   r.doc_id AS rep_doc_id, r.n_chars AS rep_chars,
+                   g.all_chars - r.n_chars AS reclaimable_chars
+            FROM g JOIN r USING (cluster_id)
+            WHERE r.rn = 1 AND g.n_members > 1
+            ORDER BY reclaimable_chars DESC, g.cluster_id ASC
+            LIMIT 20
+        """,
         "cross_corpus_novel": osql.cross_corpus_novel_sql(),
         "dedup_tiers": osql.dedup_tiers_sql(augmented=True),
         "dedup_tier_stats": osql.dedup_tier_stats_sql(augmented=True),

@@ -381,3 +381,102 @@ def near_dup_text_clusters(
     return clustered.unionByName(singletons).withColumn(
         "is_canonical", F.col("doc_id") == F.col("cluster_id")
     )
+
+
+def near_soft_dedup_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """Soft dedup over the FUZZY closure: keep every row, weight it
+    1/n_cluster_members so a weighted sampler sees each near-duplicate
+    *family* once in expectation. The near-dup counterpart of
+    soft_dedup_weights (which only collapses exact content copies) — the
+    reweighting regime data-constrained training recipes prefer over
+    deletion, applied to the clusters the reference's grouping would
+    report (DataControllerSimple.cs:252-301 generalized to fuzzy).
+
+    Clusters are injectable (the dedup_tier_stats / leakage_safe_split
+    contract): production passes the pipeline's materialized assignment
+    frame and this becomes ONE projection over it — no LSH recompute.
+    1.0/n is IEEE-identical in Spark and DuckDB, so the oracle
+    (recursive-CTE closure + the same division) is value-exact."""
+    if clusters is None:
+        clusters = near_dup_text_clusters(
+            docs, id_col=id_col, text_col=text_col,
+            jaccard_threshold=jaccard_threshold,
+        )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        "n_members",
+        (F.lit(1.0) / F.col("n_members")).alias("weight"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def top_reclaimable_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    jaccard_threshold: float = 0.5,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """The reference's headline report ordering — duplicate groups sorted
+    by reclaimable size descending (T1, DuplicatesViewController.cs:32-52,
+    metric O7's DuplicatesDataSize = group bytes minus the kept copy,
+    SameContentFilesInfo.cs:34-68) — lifted to the fuzzy text clusters:
+    for each multi-member cluster, the chars reclaimable by keeping only
+    the representative (longest raw text, ties to smallest doc_id — the
+    cluster_representatives keeper rule).
+
+    Shape at 100 TB: clusters ⋈ docs is one equi-join on doc_id (both
+    sides pre-partitionable on it), a single hash-aggregate per cluster
+    (max_by packs the keeper ordering into one decimal so the agg never
+    sorts), and the global top-k executes as TakeOrderedAndProject —
+    per-partition k-heaps merged on the driver, k rows, no global sort.
+    Clusters injectable as everywhere else; the deterministic
+    (reclaimable DESC, cluster_id ASC) tie-break keeps the k-row set
+    stable across partitionings."""
+    if clusters is None:
+        clusters = near_dup_text_clusters(
+            docs, id_col=id_col, text_col=text_col,
+            jaccard_threshold=jaccard_threshold,
+        )
+    chars = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+    order = F.expr(
+        "cast(n_chars as decimal(38,0))"
+        " * cast(20000000000000000000 as decimal(38,0))"
+        " - cast(doc_id as decimal(38,0))"
+    )
+    g = (
+        clusters.join(chars, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_chars").alias("all_chars"),
+            F.max_by("doc_id", order).alias("rep_doc_id"),
+            F.max("n_chars").alias("rep_chars"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+    return (
+        g.select(
+            "cluster_id",
+            "n_members",
+            "all_chars",
+            "rep_doc_id",
+            "rep_chars",
+            (F.col("all_chars") - F.col("rep_chars")).alias(
+                "reclaimable_chars"
+            ),
+        )
+        .orderBy(F.desc("reclaimable_chars"), F.asc("cluster_id"))
+        .limit(k)
+    )

@@ -147,3 +147,71 @@ def test_near_dup_text_clusters_pinned_vs_union_find(spark):
         exp_head, exp_n = expected.get(d, (d, 1))
         assert (r["cluster_id"], r["n_members"]) == (exp_head, exp_n)
         assert r["is_canonical"] == (r["cluster_id"] == d)
+
+
+def test_near_soft_dedup_weights_injected_clusters(spark):
+    from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+        near_soft_dedup_weights,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3), (4, 4, 1)],
+        "doc_id long, cluster_id long, n_members long",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in near_soft_dedup_weights(
+            _docs(spark), clusters=clusters
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["weight"] == out[2]["weight"] == out[3]["weight"] == 1.0 / 3
+    assert out[1]["is_canonical"] and not out[2]["is_canonical"]
+    assert out[4]["weight"] == 1.0 and out[4]["is_canonical"]
+
+
+def test_near_soft_dedup_weights_full_chain(spark):
+    """Without injection the weights ride the fuzzy closure: weights sum
+    to the number of clusters and every doc keeps a row (drop-free)."""
+    from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+        near_dup_text_clusters,
+        near_soft_dedup_weights,
+    )
+
+    docs = _docs(spark)
+    out = near_soft_dedup_weights(docs).collect()
+    assert len(out) == docs.count()  # NULL-text rows are self-singletons
+    n_clusters = near_dup_text_clusters(docs).select(
+        "cluster_id"
+    ).distinct().count()
+    assert abs(sum(r["weight"] for r in out) - n_clusters) < 1e-9
+
+
+def test_top_reclaimable_clusters(spark):
+    from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+        top_reclaimable_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # cluster 1: lengths 10, 7, 4 -> keep rep (10), reclaim 11
+            (1, "a" * 10), (2, "b" * 7), (3, "c" * 4),
+            # cluster 4: lengths 6, 6 -> tie, rep = min id 4, reclaim 6
+            (4, "d" * 6), (5, "e" * 6),
+            # singleton: excluded
+            (6, "f" * 99),
+        ],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3), (4, 4, 2), (5, 4, 2), (6, 6, 1)],
+        "doc_id long, cluster_id long, n_members long",
+    )
+    rows = top_reclaimable_clusters(docs, clusters=clusters).collect()
+    assert [r["cluster_id"] for r in rows] == [1, 4]  # reclaimable DESC
+    r1, r4 = rows
+    assert (r1["all_chars"], r1["rep_doc_id"], r1["rep_chars"],
+            r1["reclaimable_chars"]) == (21, 1, 10, 11)
+    assert (r4["rep_doc_id"], r4["reclaimable_chars"]) == (4, 6)
+    # top-k limit honored
+    assert len(top_reclaimable_clusters(docs, clusters=clusters, k=1).collect()) == 1
