@@ -711,6 +711,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return near_soft_dedup_weights(_docs(spark, sf))
 
+    def q_pair_score_histogram(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+            pair_score_histogram,
+        )
+
+        return pair_score_histogram(_docs(spark, sf))
+
     def q_top_reclaimable_clusters(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.text_dedup import (
             top_reclaimable_clusters,
@@ -909,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontamination": q_fuzzy_decontamination,
         "near_soft_dedup_weights": q_near_soft_dedup_weights,
         "top_reclaimable_clusters": q_top_reclaimable_clusters,
+        "pair_score_histogram": q_pair_score_histogram,
         # -- dedup / tier / LLM-pipeline core (green in r02) --
         "exact_text_groups": q_exact_text_groups,
         "dup_text_groups": q_dup_text_groups,
@@ -1478,6 +1486,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates": osql.minhash_candidates_sql(),
         "near_dup_text_pairs": osql.near_dup_text_pairs_sql(),
         "near_dup_text_clusters": osql.near_dup_text_clusters_sql(),
+        "pair_score_histogram": osql.pair_score_histogram_sql(),
         "near_soft_dedup_weights": f"""
             SELECT doc_id, cluster_id, n_members,
                    1.0::DOUBLE / n_members AS weight,

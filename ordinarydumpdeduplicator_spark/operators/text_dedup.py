@@ -480,3 +480,61 @@ def top_reclaimable_clusters(
         .orderBy(F.desc("reclaimable_chars"), F.asc("cluster_id"))
         .limit(k)
     )
+
+
+def pair_score_histogram(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bin_width: float = 0.05,
+) -> DataFrame:
+    """Empirical S-curve data: every LSH candidate pair scored by EXACT
+    shingle Jaccard and bucketed into fixed-width bins — the measured
+    counterpart of functions/lsh_tuning's analytic banding curve.
+    Operators read the threshold/band trade-off off this histogram (how
+    many candidates sit just below the verify threshold, where the
+    marginal recall of loosening it lives) without ever materializing the
+    pair list.
+
+    Scale shape: candidates are bucket-capped by construction, the
+    verify-join ships two string columns bounded by candidate count
+    (never bytes), the Jaccard is one Arrow-vectorized UDF pass, and the
+    result collapses to ~1/bin_width rows in a single hash-aggregate.
+    The binning floor(j / w) is the same IEEE double math in Spark and
+    DuckDB (n_inter/n_union is an exact small-int division), so the
+    oracle is value-exact, not approximately so."""
+    from ..functions.minhash import jaccard_udf
+
+    cands = minhash_candidate_pairs(docs, id_col, text_col)
+    corpus = docs.select(
+        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("t")
+    )
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        cands.repartition(n_parts, "src", "dst")
+        .join(
+            corpus.withColumnRenamed("id", "src").withColumnRenamed(
+                "t", "t_a"
+            ),
+            "src",
+        )
+        .join(
+            corpus.withColumnRenamed("id", "dst").withColumnRenamed(
+                "t", "t_b"
+            ),
+            "dst",
+        )
+        .select(jaccard_udf("t_a", "t_b").alias("jaccard"))
+    )
+    return (
+        scored.select(
+            F.floor(F.col("jaccard") / F.lit(bin_width)).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "bin",
+            (F.col("bin") * F.lit(bin_width)).alias("jaccard_lo"),
+            "n_pairs",
+        )
+    )

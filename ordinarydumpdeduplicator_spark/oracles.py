@@ -149,6 +149,31 @@ def near_dup_text_pairs_sql(
     """
 
 
+def pair_score_histogram_sql(bin_width: float = 0.05) -> str:
+    """operators/text_dedup.pair_score_histogram: the candidate CTE chain
+    scored by the same exact shingle Jaccard, floor-binned. n_inter and
+    n_union are exact small integers, so the division and the
+    floor(j / w) binning are bit-identical IEEE double math in both
+    engines."""
+    return f"""
+    WITH {_minhash_band_ctes()},
+    j AS (
+      SELECT a.sh AS sh_a, b.sh AS sh_b
+      FROM cand JOIN sh a ON cand.src = a.id JOIN sh b ON cand.dst = b.id
+    ),
+    scored AS (
+      SELECT len(list_intersect(sh_a, sh_b))::DOUBLE
+               / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+               AS jacc
+      FROM j
+    )
+    SELECT floor(jacc / {bin_width})::BIGINT AS bin,
+           floor(jacc / {bin_width}) * {bin_width} AS jaccard_lo,
+           count(*)::BIGINT AS n_pairs
+    FROM scored GROUP BY 1, 2
+    """
+
+
 def cross_corpus_novel_sql(
     batch_mod: int = 4,
     jaccard_threshold: float = 0.5,

@@ -215,3 +215,22 @@ def test_top_reclaimable_clusters(spark):
     assert (r4["rep_doc_id"], r4["reclaimable_chars"]) == (4, 6)
     # top-k limit honored
     assert len(top_reclaimable_clusters(docs, clusters=clusters, k=1).collect()) == 1
+
+
+def test_pair_score_histogram(spark):
+    from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+        minhash_candidate_pairs,
+        pair_score_histogram,
+    )
+
+    docs = _docs(spark)
+    hist = pair_score_histogram(docs).collect()
+    n_cands = minhash_candidate_pairs(docs).count()
+    assert n_cands > 0
+    # every candidate pair lands in exactly one bin
+    assert sum(r["n_pairs"] for r in hist) == n_cands
+    for r in hist:
+        assert abs(r["jaccard_lo"] - r["bin"] * 0.05) < 1e-12
+    # identical-text pair (docs 5/6) scores jaccard 1.0 -> the top bin
+    # (IEEE rounds 1.0/0.05 to exactly 20.0 — same in Spark and DuckDB)
+    assert max(r["bin"] for r in hist) == 20
