@@ -166,6 +166,8 @@ def main() -> None:
         # round 3 session 5: pair-level dedup evaluation + fuzzy decon
         "dedup_pair_metrics",
         "fuzzy_decontamination",
+        # round 3 session 6: measured LSH S-curve (scores every candidate)
+        "pair_score_histogram",
     ]
     for name in headline:
         fn = qs[name]

@@ -277,3 +277,40 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS feat_a")
         spark.sql("DROP TABLE IF EXISTS feat_b")
+
+
+def test_top_reclaimable_is_topk_not_global_sort(spark, tmp_path):
+    """The reclaimable-space report's ordering must execute as
+    TakeOrderedAndProject (per-partition k-heaps merged on the driver),
+    never a global Sort+Exchange of the cluster frame; the keeper pick
+    must stay a HashAggregate (decimal-packed max_by), and with injected
+    clusters nothing in the plan may recompute the LSH chain (no Arrow
+    UDF evaluation nodes)."""
+    from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+        top_reclaimable_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (10 + i % 7)) for i in range(100)],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(i, i % 10, 10) for i in range(100)],
+        "doc_id long, cluster_id long, n_members long",
+    )
+    plan = plan_of(top_reclaimable_clusters(docs, clusters=clusters))
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    assert "ArrowEvalPython" not in plan and "EvalPython" not in plan
+
+
+def test_pair_score_histogram_single_jaccard_pass(spark, queries):
+    """The histogram collapses in one hash-aggregate over ONE Jaccard
+    UDF evaluation (Catalyst must not duplicate the Arrow UDF), and the
+    corpus scan reads only the id + text columns."""
+    plan = plan_of(queries["pair_score_histogram"](spark, SF))
+    assert plan.count("jaccard_udf") <= plan.count("ArrowEvalPython") + 1
+    # exactly one scoring evaluation of the verify UDF in the whole plan
+    assert plan.count("jaccard_udf(t_a") <= 1
+    assert "HashAggregate" in plan

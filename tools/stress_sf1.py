@@ -73,6 +73,10 @@ QUERIES = [
     "leakage_safe_split",
     "dedup_pair_metrics",
     "fuzzy_decontamination",
+    # round-3 session-6 additions
+    "near_soft_dedup_weights",
+    "top_reclaimable_clusters",
+    "pair_score_histogram",
 ]
 
 
