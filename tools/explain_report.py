@@ -62,6 +62,9 @@ HEADLINE = [
     "leakage_safe_split",
     "dedup_pair_metrics",
     "fuzzy_decontamination",
+    "near_soft_dedup_weights",
+    "top_reclaimable_clusters",
+    "pair_score_histogram",
 ]
 
 
