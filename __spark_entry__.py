@@ -711,6 +711,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return near_soft_dedup_weights(_docs(spark, sf))
 
+    def q_event_props_stats(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.states import (
+            event_props_stats,
+        )
+
+        return event_props_stats(_tbl(spark, sf, "events"))
+
     def q_pair_score_histogram(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.text_dedup import (
             pair_score_histogram,
@@ -918,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_soft_dedup_weights": q_near_soft_dedup_weights,
         "top_reclaimable_clusters": q_top_reclaimable_clusters,
         "pair_score_histogram": q_pair_score_histogram,
+        "event_props_stats": q_event_props_stats,
         # -- dedup / tier / LLM-pipeline core (green in r02) --
         "exact_text_groups": q_exact_text_groups,
         "dup_text_groups": q_dup_text_groups,
@@ -1488,6 +1496,18 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_text_pairs": osql.near_dup_text_pairs_sql(),
         "near_dup_text_clusters": osql.near_dup_text_clusters_sql(),
         "pair_score_histogram": osql.pair_score_histogram_sql(),
+        "event_props_stats": """
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   count(CAST(props->>'$.k' AS INT))::BIGINT
+                     AS n_with_field,
+                   sum(CAST(props->>'$.k' AS INT))::BIGINT AS sum_k,
+                   min(CAST(props->>'$.k' AS INT)) AS min_k,
+                   max(CAST(props->>'$.k' AS INT)) AS max_k,
+                   sum(CAST(props->>'$.k' AS INT))::DOUBLE
+                     / count(CAST(props->>'$.k' AS INT)) AS avg_k
+            FROM events GROUP BY event_type
+        """,
         "near_soft_dedup_weights": f"""
             SELECT doc_id, cluster_id, n_members,
                    1.0::DOUBLE / n_members AS weight,

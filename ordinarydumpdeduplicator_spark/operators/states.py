@@ -214,3 +214,34 @@ def sessionize(
         F.timestamp_diff("MICROSECOND", start, end).alias("duration_us"),
         F.round(F.sum("_value"), 2).alias("sum_value"),
     )
+
+
+def event_props_stats(
+    events: DataFrame, props_col: str = "props", field: str = "k"
+) -> DataFrame:
+    """Semi-structured metadata rollup: parse the per-event JSON sidecar
+    column with an EXPLICIT schema (`from_json` — JVM-side, inside
+    whole-stage codegen; at 100 TB a schema-inferred parse would scan the
+    data twice and a per-row Python json.loads would dominate the job)
+    and aggregate the extracted field per event type in one
+    hash-aggregate.
+
+    No reference analogue — the reference carries no attribute payloads —
+    but it is the metadata-sidecar shape every training-data pipeline
+    has (per-record JSON provenance/config next to the payload columns).
+    Missing/null fields count in ``n_events`` but not ``n_with_field``;
+    sum/avg are exact (integer sum, one final division), so the DuckDB
+    oracle (json_extract) is value-exact."""
+    k = F.from_json(F.col(props_col), f"{field} INT")[field]
+    return (
+        events.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("_k").alias("n_with_field"),
+            F.sum("_k").cast("long").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+            (F.sum("_k").cast("double") / F.count("_k")).alias("avg_k"),
+        )
+    )

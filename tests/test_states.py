@@ -122,3 +122,27 @@ def test_copy_with_live_original_is_not_moved(spark):
         schema=STATES_DDL,
     )
     assert detect_moved(states, runs).count() == 0
+
+
+def test_event_props_stats(spark):
+    from ordinarydumpdeduplicator_spark.operators.states import (
+        event_props_stats,
+    )
+
+    events = spark.createDataFrame(
+        [
+            ("click", '{"k": 10}'),
+            ("click", '{"k": 4}'),
+            ("click", None),            # null sidecar
+            ("view", '{"other": 1}'),   # field absent
+            ("view", "not json"),       # malformed -> null, no crash
+            ("view", '{"k": 7}'),
+        ],
+        "event_type string, props string",
+    )
+    rows = {r["event_type"]: r for r in event_props_stats(events).collect()}
+    c, v = rows["click"], rows["view"]
+    assert (c["n_events"], c["n_with_field"], c["sum_k"]) == (3, 2, 14)
+    assert (c["min_k"], c["max_k"], c["avg_k"]) == (4, 10, 7.0)
+    assert (v["n_events"], v["n_with_field"], v["sum_k"]) == (3, 1, 7)
+    assert v["avg_k"] == 7.0
