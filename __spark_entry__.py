@@ -711,6 +711,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return near_soft_dedup_weights(_docs(spark, sf))
 
+    def q_near_dup_source_matrix(spark, sf):
+        from ordinarydumpdeduplicator_spark.operators.corpus_stats import (
+            near_dup_source_matrix,
+        )
+
+        # unlike the exact matrix, no planting needed: the driver corpus'
+        # fuzzy families already span sources (22 pair rows at sf0.01)
+        return near_dup_source_matrix(_docs(spark, sf))
+
     def q_event_props_stats(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.states import (
             event_props_stats,
@@ -926,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_reclaimable_clusters": q_top_reclaimable_clusters,
         "pair_score_histogram": q_pair_score_histogram,
         "event_props_stats": q_event_props_stats,
+        "near_dup_source_matrix": q_near_dup_source_matrix,
         # -- dedup / tier / LLM-pipeline core (green in r02) --
         "exact_text_groups": q_exact_text_groups,
         "dup_text_groups": q_dup_text_groups,
@@ -1495,6 +1505,20 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates": osql.minhash_candidates_sql(),
         "near_dup_text_pairs": osql.near_dup_text_pairs_sql(),
         "near_dup_text_clusters": osql.near_dup_text_clusters_sql(),
+        "near_dup_source_matrix": f"""
+            WITH cl AS ({osql.near_dup_text_clusters_sql()}),
+            counts AS (
+              SELECT cl.cluster_id, d.source, count(*)::BIGINT AS n
+              FROM cl JOIN documents d USING (doc_id)
+              GROUP BY 1, 2
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*)::BIGINT AS shared_clusters,
+                   sum(a.n * b.n)::BIGINT AS cross_pairs
+            FROM counts a JOIN counts b
+              ON a.cluster_id = b.cluster_id AND a.source < b.source
+            GROUP BY 1, 2
+        """,
         "pair_score_histogram": osql.pair_score_histogram_sql(),
         "event_props_stats": """
             SELECT event_type,

@@ -148,3 +148,59 @@ def cross_source_dup_matrix(
             F.sum(F.col("a.n") * F.col("b.n")).alias("cross_pairs"),
         )
     )
+
+
+def near_dup_source_matrix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """Fuzzy copy-flow matrix: :func:`cross_source_dup_matrix` with the
+    content key widened from exact sha equality to the near-dup CLUSTER —
+    which source pairs paraphrase/mirror each other, not just mirror
+    verbatim. The report a crawl-quality owner reads to find systematic
+    cross-host content laundering that exact hashing misses.
+
+    Same scale shape as the exact matrix: the corpus collapses to one row
+    per (cluster_id, source) before anything pairwise happens, so the
+    pairwise stage is bounded by clusters that actually span sources.
+    Clusters are injectable (the dedup_tier_stats /
+    leakage_safe_split contract) — production passes the pipeline's
+    materialized assignment frame and this is one join + two
+    hash-aggregates over it."""
+    if clusters is None:
+        from .text_dedup import near_dup_text_clusters
+
+        clusters = near_dup_text_clusters(
+            docs, id_col=id_col, text_col=text_col
+        )
+    counts = (
+        clusters.join(
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(source_col).alias("source"),
+            ),
+            "doc_id",
+        )
+        .groupBy("cluster_id", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = counts.alias("a")
+    b = counts.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("shared_clusters"),
+            F.sum(F.col("a.n") * F.col("b.n")).alias("cross_pairs"),
+        )
+    )

@@ -203,3 +203,35 @@ def test_leakage_safe_split_holdout_mass(spark):
     # fraction parameter 0 -> nothing held out
     none_out = leakage_safe_split(None, test_fraction=0.0, clusters=clusters)
     assert none_out.where("split = 'test'").count() == 0
+
+
+def test_near_dup_source_matrix_injected_clusters(spark):
+    from pyspark.sql import functions as F
+
+    from ordinarydumpdeduplicator_spark.operators.corpus_stats import (
+        near_dup_source_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "wa"), (2, "wa"), (3, "cc"),   # cluster 1 spans wa+cc
+            (4, "cc"), (5, "wa"),              # cluster 4 spans cc+wa
+            (6, "wa"), (7, "wa"),              # cluster 6: one source only
+            (8, "xx"),                         # singleton
+        ],
+        "doc_id long, source string",
+    ).withColumn("text", F.lit("t"))
+    clusters = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3), (4, 4, 2), (5, 4, 2),
+         (6, 6, 2), (7, 6, 2), (8, 8, 1)],
+        "doc_id long, cluster_id long, n_members long",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in near_dup_source_matrix(docs, clusters=clusters).collect()
+    }
+    # the single-source cluster 6 and singleton 8 contribute nothing
+    assert set(rows) == {("cc", "wa")}
+    r = rows[("cc", "wa")]
+    # cluster 1: 2 wa x 1 cc -> 2 pairs; cluster 4: 1 cc x 1 wa -> 1
+    assert (r["shared_clusters"], r["cross_pairs"]) == (2, 3)
