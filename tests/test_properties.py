@@ -181,3 +181,80 @@ def test_dsir_weights_partition_invariant(spark, seed):
         assert bn == sn
         assert abs(blw - slw) <= 1.0001e-4, (k, blw, slw)
         assert abs(bsc - ssc) <= 1.0001e-4, (k, bsc, ssc)
+
+
+# ---- segment-core invariants (shared by video/audio/region dedup) ----
+
+hash64 = st.integers(-(2**63), 2**63 - 1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(a=hash64, b=hash64, bands=st.sampled_from([2, 4, 8, 16]))
+def test_band_slices_pigeonhole(a, b, bands):
+    """Hamming(a,b) < bands implies the two hashes share at least one of
+    the `bands` disjoint bit slices (candidate recall guarantee); and
+    slices are a partition of the 64 bits (identical hashes share all)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sa = [(a >> (i * width)) & mask for i in range(bands)]
+    sb = [(b >> (i * width)) & mask for i in range(bands)]
+    ham = bin((a ^ b) & (2**64 - 1)).count("1")
+    shared = sum(1 for x, y in zip(sa, sb) if x == y)
+    if ham < bands:
+        assert shared >= 1
+    if a == b:
+        assert shared == bands
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    ha=st.lists(hash64, min_size=1, max_size=6),
+    hb=st.lists(hash64, min_size=1, max_size=6),
+    r=st.sampled_from([0, 3, 6]),
+)
+def test_match_frac_symmetric_bounded(spark, ha, hb, r):
+    """match_frac_expr is symmetric, in [0, 1], and exactly 1.0 for an
+    identical hash multiset."""
+    from pyspark.sql import functions as F
+
+    from ordinarydumpdeduplicator_spark.operators.segment_dedup import (
+        match_frac_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(ha, hb)], "ha array<long>, hb array<long>"
+    ).select(
+        match_frac_expr("ha", "hb", r).alias("ab"),
+        match_frac_expr("hb", "ha", r).alias("ba"),
+        match_frac_expr("ha", "ha", r).alias("aa"),
+    )
+    row = df.collect()[0]
+    assert abs(row["ab"] - row["ba"]) < 1e-12
+    assert 0.0 <= row["ab"] <= 1.0
+    assert row["aa"] == 1.0
+
+
+def test_band_slices_expression_matches_math(spark):
+    """The Spark band_slices expression (shiftrightunsigned + AND)
+    produces exactly the Python slice math the pigeonhole property tests,
+    including for negative int64 hashes."""
+    from pyspark.sql import functions as F
+
+    from ordinarydumpdeduplicator_spark.operators.segment_dedup import (
+        band_slices,
+    )
+
+    vals = [0, 1, -1, 2**63 - 1, -(2**63), 0x1234_5678_9ABC_DEF0]
+    bands = 4
+    width = 64 // bands
+    mask = (1 << width) - 1
+    df = spark.createDataFrame([(v,) for v in vals], "h long").select(
+        "h", band_slices(F.col("h"), bands).alias("s")
+    )
+    for row in df.collect():
+        got = {(e["band"], e["key"]) for e in row["s"]}
+        want = {
+            (i, ((row["h"] & (2**64 - 1)) >> (i * width)) & mask)
+            for i in range(bands)
+        }
+        assert got == want
