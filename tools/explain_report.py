@@ -65,6 +65,8 @@ HEADLINE = [
     "near_soft_dedup_weights",
     "top_reclaimable_clusters",
     "pair_score_histogram",
+    "event_props_stats",
+    "near_dup_source_matrix",
 ]
 
 

@@ -77,6 +77,8 @@ QUERIES = [
     "near_soft_dedup_weights",
     "top_reclaimable_clusters",
     "pair_score_histogram",
+    "event_props_stats",
+    "near_dup_source_matrix",
 ]
 
 
@@ -153,6 +155,7 @@ def build_sf1(spark) -> None:
                 "event_type",
                 "ts",
                 "value",
+                "props",
             )
         )
     vout = vparts[0]
