@@ -186,6 +186,12 @@ def near_dup_source_matrix(
         )
         .groupBy("cluster_id", "source")
         .agg(F.count(F.lit(1)).alias("n"))
+        # BOTH sides of the pairwise self-join read this frame; without a
+        # lineage cut each side re-executes the upstream chain — a full
+        # LSH -> verify -> CC run TWICE when clusters defaulted to the
+        # fuzzy closure (measured 2x wall at sf0.1). The frame is tiny
+        # (one row per (cluster, source)), so the cut is free.
+        .localCheckpoint(eager=False)
     )
     a = counts.alias("a")
     b = counts.alias("b")
