@@ -633,7 +633,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             gopher_quality_filter,
         )
 
-        return gopher_quality_filter(_docs(spark, sf))
+        # The operator's API keeps `reasons` as array<string>; the contract
+        # projection joins it to a CSV string because the driver gate's
+        # pandas canonicalization cannot hash list cells (the one red row
+        # in CORRECTNESS_r01-r03).
+        return gopher_quality_filter(_docs(spark, sf)).select(
+            "doc_id",
+            "n_tokens",
+            "keep",
+            F.array_join("reasons", ",").alias("reasons"),
+        )
 
     def q_incremental_new_docs(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.bloom_dedup import (
@@ -1521,16 +1530,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pair_score_histogram": osql.pair_score_histogram_sql(),
         "event_props_stats": """
+            -- k extraction mirrors Spark from_json('k INT') NULL-tolerant
+            -- semantics for ALL inputs (not just clean driver data):
+            -- malformed JSON, non-object, string-typed "7", double 7.5
+            -- and out-of-INT-range values all yield NULL (json_valid +
+            -- json_type integer check + TRY_CAST range check).
+            WITH ex AS (
+              SELECT event_type,
+                     CASE WHEN json_valid(props)
+                            AND json_type(props, '$.k')
+                                IN ('UBIGINT', 'BIGINT')
+                          THEN TRY_CAST(props->>'$.k' AS INT) END AS k
+              FROM events
+            )
             SELECT event_type,
                    count(*)::BIGINT AS n_events,
-                   count(CAST(props->>'$.k' AS INT))::BIGINT
-                     AS n_with_field,
-                   sum(CAST(props->>'$.k' AS INT))::BIGINT AS sum_k,
-                   min(CAST(props->>'$.k' AS INT)) AS min_k,
-                   max(CAST(props->>'$.k' AS INT)) AS max_k,
-                   sum(CAST(props->>'$.k' AS INT))::DOUBLE
-                     / count(CAST(props->>'$.k' AS INT)) AS avg_k
-            FROM events GROUP BY event_type
+                   count(k)::BIGINT AS n_with_field,
+                   sum(k)::BIGINT AS sum_k,
+                   min(k) AS min_k,
+                   max(k) AS max_k,
+                   sum(k)::DOUBLE / count(k) AS avg_k
+            FROM ex GROUP BY event_type
         """,
         "near_soft_dedup_weights": f"""
             SELECT doc_id, cluster_id, n_members,
@@ -1809,7 +1829,8 @@ def oracle_sql() -> dict[str, str]:
               ], x -> x IS NOT NULL) AS reasons
               FROM j
             )
-            SELECT doc_id, n_tokens, len(reasons) = 0 AS keep, reasons
+            SELECT doc_id, n_tokens, len(reasons) = 0 AS keep,
+                   coalesce(array_to_string(reasons, ','), '') AS reasons
             FROM r
         """,
         "stratified_sample": _stratified_sample_sql(),

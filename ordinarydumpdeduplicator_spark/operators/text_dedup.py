@@ -440,7 +440,24 @@ def top_reclaimable_clusters(
     per-partition k-heaps merged on the driver, k rows, no global sort.
     Clusters injectable as everywhere else; the deterministic
     (reclaimable DESC, cluster_id ASC) tie-break keeps the k-row set
-    stable across partitionings."""
+    stable across partitionings.
+
+    Contract: ``id_col`` must be NUMERIC (castable to decimal(38,0)) —
+    the same keeper-ordering contract as cluster_representatives, here
+    packed into one max_by decimal. A non-numeric id would cast to NULL
+    and silently drop every row from the keeper argmax, so the cast is
+    validated eagerly and raises instead."""
+    id_type = docs.schema[id_col].dataType.simpleString()
+    if not (
+        id_type in ("tinyint", "smallint", "int", "bigint")
+        or id_type.startswith("decimal")
+    ):
+        raise ValueError(
+            f"top_reclaimable_clusters requires a numeric {id_col!r} "
+            f"(got {id_type}): the keeper tie-break packs the id into a "
+            "decimal(38,0); a string id would cast to NULL and max_by "
+            "would return NULL rep_doc_id for every cluster"
+        )
     if clusters is None:
         clusters = near_dup_text_clusters(
             docs, id_col=id_col, text_col=text_col,

@@ -9,11 +9,14 @@ write overwrites its own ``epoch=<batch_id>`` directory; loaders read
 only committed epochs STRICTLY BELOW the current one, so a replayed
 crashed batch heals its own partial state):
 
-    fps/epoch=N/       fingerprint DELTAS — the batch-N items that were
-                       novel cluster canonicals (re-uploaded copies add
-                       no matching power: their target is already
-                       indexed, so the reference index grows with
-                       DISTINCT content, not ingest volume)
+    fps/epoch=N/       fingerprint DELTAS — all members of batch-N NOVEL
+                       clusters, re-keyed to their cluster canonical id
+                       (the whole collapsed family's segment hashes back
+                       the canonical, so a later upload that near-matches
+                       only a non-canonical variant still resolves;
+                       byte-identical members collapse to one row, and
+                       already-indexed content adds nothing, so the index
+                       grows with DISTINCT content, not ingest volume)
     verdicts/epoch=N/  one row per batch item:
                        (id, outcome, match_ref_id, match_frac,
                         batch_canonical_id)
@@ -273,12 +276,28 @@ def stream_media_novelty(
             written = s.read.schema(
                 VERDICTS_SCHEMA.format(id_col=id_col)
             ).parquet(os.path.join(verdicts_path, epoch))
-            # fingerprint delta: the novel canonicals only
-            novel_ids = written.filter(
+            # fingerprint delta: EVERY member of a novel cluster,
+            # re-keyed to the cluster canonical id — so the index's
+            # matching power covers the whole collapsed family (a future
+            # upload near-matching only a non-canonical variant, e.g. a
+            # trim closer to a dropped re-mux, still resolves to the
+            # canonical) while match_ref_id keeps pointing at one id.
+            # Byte-identical members collapse via the full-row distinct;
+            # the index still grows with distinct CONTENT, not volume.
+            novel_canon = written.filter(
                 F.col("outcome") == "novel"
-            ).select(id_col)
-            fps_b.join(novel_ids, id_col).write.mode("overwrite").parquet(
-                os.path.join(fps_path, epoch)
+            ).select(F.col(id_col).alias("batch_canonical_id"))
+            members = (
+                written.join(novel_canon, "batch_canonical_id")
+                .select(id_col, "batch_canonical_id")
+            )
+            (
+                fps_b.join(members, id_col)
+                .withColumn(id_col, F.col("batch_canonical_id"))
+                .drop("batch_canonical_id")
+                .dropDuplicates()
+                .write.mode("overwrite")
+                .parquet(os.path.join(fps_path, epoch))
             )
             counts = {
                 r["outcome"]: r["n"]

@@ -217,6 +217,26 @@ def test_top_reclaimable_clusters(spark):
     assert len(top_reclaimable_clusters(docs, clusters=clusters, k=1).collect()) == 1
 
 
+def test_top_reclaimable_rejects_string_ids(spark):
+    """Non-numeric doc_id would silently NULL-out the max_by keeper
+    ordering (decimal cast) — the operator must refuse eagerly instead."""
+    import pytest
+
+    from ordinarydumpdeduplicator_spark.operators.text_dedup import (
+        top_reclaimable_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "xxxx"), ("b", "yy")], "doc_id string, text string"
+    )
+    clusters = spark.createDataFrame(
+        [("a", "a", 2), ("b", "a", 2)],
+        "doc_id string, cluster_id string, n_members long",
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        top_reclaimable_clusters(docs, clusters=clusters)
+
+
 def test_pair_score_histogram(spark):
     from ordinarydumpdeduplicator_spark.operators.text_dedup import (
         minhash_candidate_pairs,

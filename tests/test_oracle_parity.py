@@ -300,3 +300,36 @@ def test_fuzzy_decontamination_oracle(spark, subset_dir, duck):
     df = e.queries()["fuzzy_decontamination"](spark, subset_dir)
     assert df.count() == 135  # 150 docs minus the 15 eval ids
     _assert_parity(df, duck, e.oracle_sql()["fuzzy_decontamination"])
+
+
+def test_event_props_stats_oracle_dirty_json(spark):
+    """The driver's events table carries only clean props, so the gate
+    never exercises the oracle's NULL-tolerance. This pins the oracle SQL
+    to Spark from_json('k INT') semantics on EVERY adversarial shape:
+    malformed JSON, absent field, string-typed "7", double 7.5, negative,
+    null sidecar, and out-of-INT-range — all must agree cell-exact."""
+    import __spark_entry__ as e
+    from ordinarydumpdeduplicator_spark.operators.states import (
+        event_props_stats,
+    )
+
+    rows = [
+        ("click", '{"k": 10}'),
+        ("click", '{"k": -4}'),
+        ("click", '{"k": 7.5}'),            # double -> NULL
+        ("click", '{"k": "7"}'),            # string-typed -> NULL
+        ("view", "not json"),               # malformed -> NULL
+        ("view", '{"other": 1}'),           # absent -> NULL
+        ("view", None),                     # null sidecar
+        ("view", '{"k": 99999999999999}'),  # out of INT range -> NULL
+        ("view", '{"k": 3}'),
+    ]
+    events = spark.createDataFrame(rows, "event_type string, props string")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_type VARCHAR, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    _assert_parity(
+        event_props_stats(events), con, e.oracle_sql()["event_props_stats"]
+    )

@@ -85,6 +85,12 @@ def test_stream_media_novelty_verdicts(spark, tmp_path):
         ("b", _avi("x", fps=25)),  # re-mux of a -> ref_dup
         ("d", _avi("z")),          # fresh content
         ("d2", _avi("z", fps=25)),  # within-batch re-mux of d
+        # d's frames PLUS 8 frames of unseen content w: clusters with d
+        # (half its segments match), so it's a batch_dup — but its w-half
+        # hashes exist nowhere else. The member-indexing rule must keep
+        # them (under canonical id "d") or wave3's "t" below is
+        # misclassified novel.
+        ("dx", codecs.encode_avi_rgb(_frames("z") + _frames("w"))),
         ("e", None),
         ("u2", broken),  # byte-identical to u1 -> ref_dup via sha path
     ]
@@ -99,15 +105,22 @@ def test_stream_media_novelty_verdicts(spark, tmp_path):
     assert v["u2"]["outcome"] == "ref_dup" and v["u2"]["match_ref_id"] == "u1"
     assert v["u2"]["match_frac"] == 1.0
     assert v["e"]["outcome"] == "no_hashes"
-    # d/d2 collapse within the batch: min-id canonical is novel
+    # d/d2/dx collapse within the batch: min-id canonical is novel
     assert v["d"]["outcome"] == "novel"
     assert v["d2"]["outcome"] == "batch_dup"
     assert v["d2"]["batch_canonical_id"] == "d"
+    assert v["dx"]["outcome"] == "batch_dup"
+    assert v["dx"]["batch_canonical_id"] == "d"
 
-    # the index holds exactly the novel canonicals
+    # the index covers novel CLUSTERS (all members' fingerprints,
+    # re-keyed to the canonical id) — not just the canonicals
     idx = sorted(
-        r["video_id"]
-        for r in load_reference_fps(spark, state, VIDEO_FP_SCHEMA).collect()
+        set(
+            r["video_id"]
+            for r in load_reference_fps(
+                spark, state, VIDEO_FP_SCHEMA
+            ).collect()
+        )
     )
     assert idx == ["a", "c", "d", "u1"]
 
@@ -117,6 +130,17 @@ def test_stream_media_novelty_verdicts(spark, tmp_path):
             m["n_in"]
             == m["n_no_hashes"] + m["n_ref_dup"] + m["n_batch_dup"] + m["n_novel"]
         )
+
+    # cumulative recall: "t" re-uploads ONLY the w-half of dx — content
+    # that never appeared in a canonical. The family-indexed hashes must
+    # classify it ref_dup of the canonical, not novel.
+    _write_wave(spark, inp, [("t", _avi("w"))])
+    _run_once(spark, inp, state, ck)
+    v = {
+        r["video_id"]: r
+        for r in load_media_verdicts(spark, state).collect()
+    }
+    assert v["t"]["outcome"] == "ref_dup" and v["t"]["match_ref_id"] == "d"
 
 
 def test_stream_media_replay_heals(spark, tmp_path):
