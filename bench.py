@@ -168,6 +168,12 @@ def main() -> None:
         "fuzzy_decontamination",
         # round 3 session 6: measured LSH S-curve (scores every candidate)
         "pair_score_histogram",
+        # round 4: media segment chain over injectable fingerprints +
+        # bounded-golden pair metrics
+        "segment_clusters",
+        "segment_novelty",
+        "frames_matching_images",
+        "dedup_pair_metrics_golden",
     ]
     for name in headline:
         fn = qs[name]

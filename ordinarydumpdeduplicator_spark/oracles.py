@@ -1121,20 +1121,39 @@ def leakage_safe_split_sql(
     """
 
 
-def dedup_pair_metrics_sql() -> str:
-    """operators/dedup_eval.dedup_pair_metrics over the fuzzy closure,
-    with the contract's proxy golden set: pairs of documents with
-    IDENTICAL text (definitionally duplicates — the label set any planted
-    corpus gives for free). Predicted pairs fold cluster sizes with
-    integer DIV, hits join the golden pairs back to both endpoints'
-    assignments."""
-    return f"""
-    WITH assign AS MATERIALIZED ({near_dup_text_clusters_sql()}),
+def dedup_pair_metrics_sql(golden: str = "identical") -> str:
+    """operators/dedup_eval.dedup_pair_metrics over the fuzzy closure.
+
+    ``golden`` picks the label set:
+      'identical' — the proxy set: ALL pairs of documents with identical
+        raw text (what a planted corpus labels for free; quadratic in
+        group size, which is why the sf1 stress showed it super-linear);
+      'star' — the bounded production shape of the same label set: per
+        identical-text group with >1 member, only (group-min, member)
+        pairs — linear in corpus size under duplication, the
+        fixed-eval-artifact contract. Recall semantics are identical
+        (a clique is recalled iff its star is).
+    Predicted pairs fold cluster sizes with integer DIV, hits join the
+    golden pairs back to both endpoints' assignments."""
+    if golden == "star":
+        golden_cte = """
+    gk AS (SELECT doc_id, text AS k FROM documents),
+    gg AS (SELECT k, min(doc_id) AS mn FROM gk
+           GROUP BY k HAVING count(*) > 1),
+    golden AS (
+      SELECT g.mn AS id_a, k.doc_id AS id_b
+      FROM gk k JOIN gg g USING (k) WHERE k.doc_id <> g.mn
+    ),"""
+    else:
+        golden_cte = """
     golden AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM documents a
       JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
-    ),
+    ),"""
+    return f"""
+    WITH assign AS MATERIALIZED ({near_dup_text_clusters_sql()}),
+    {golden_cte}
     ng AS (SELECT count(*)::BIGINT AS n_golden FROM golden),
     pred AS (
       SELECT sum((n * (n - 1)) // 2)::BIGINT AS n_predicted
@@ -1168,4 +1187,314 @@ def fuzzy_decontamination_sql(eval_mod: int = 10, **kwargs) -> str:
     SELECT doc_id, match_ref_id AS matched_eval_id,
            match_ref_id IS NOT NULL AS contaminated
     FROM ({inner})
+    """
+
+
+# ------------------------------------------------------- media segment chain
+# DuckDB mirror of the synthetic fingerprint generator
+# (operators/segment_synth.synthetic_segment_fingerprints) and the
+# segment dedup chain downstream of it (operators/segment_dedup.py:
+# band-slice LSH with the pairs_from_buckets cap contract, symmetric
+# bit_count match-fraction verify, CC closure, tier attribution). The
+# decode stage of the real media chains is not SQL-expressible; this
+# puts everything AFTER the fingerprint frame behind the value-exact
+# driver gate.
+
+from .operators.segment_synth import (  # noqa: E402
+    SEG_BANDS,
+    SEG_BUCKET_CAP,
+    SEG_MAX_HAMMING,
+    SEG_MIN_MATCH_FRAC,
+    SEG_REF_BUCKET_CAP,
+)
+
+_H60 = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+
+def segment_fps_ctes() -> str:
+    """CTE chain: documents -> the planted-family fingerprint frame,
+    cell-exact vs synthetic_segment_fingerprints (hash60 convention;
+    all values positive < 2^60 so signed bit ops agree)."""
+    h = _H60.format(s="'seg:' || ck || ':' || i::VARCHAR")
+    return f"""
+    seg_base AS (
+      SELECT doc_id AS did, doc_id // 4 AS g, doc_id % 4 AS v,
+             (doc_id // 4) % 3 = 2 AS solo,
+             doc_id % 29 = 7 AS broken
+      FROM documents
+    ),
+    seg_meta AS (
+      SELECT did, g, v, solo, broken,
+        CASE WHEN solo THEN 'solo:' || did::VARCHAR
+             ELSE 'fam:' || g::VARCHAR END AS ck,
+        CASE WHEN solo THEN 8 + (did % 5) ELSE 8 + (g % 5) END AS n_seg,
+        (NOT solo) AND v = 3 AND g % 2 = 0 AS noisy,
+        (NOT solo) AND v = 3 AND g % 2 = 1 AS trimmed,
+        CASE WHEN broken THEN 'broken:' || (did // 58)::VARCHAR
+             WHEN solo THEN 'payload:solo:' || did::VARCHAR
+             WHEN v = 1 THEN 'payload:' || g::VARCHAR || ':0'
+             ELSE 'payload:' || g::VARCHAR || ':' || v::VARCHAR
+        END AS payload_key
+      FROM seg_base
+    ),
+    seg_fps AS MATERIALIZED (
+      SELECT did, v, did::VARCHAR AS media_id,
+             CASE WHEN broken THEN 'broken' ELSE 'ok' END AS status,
+             payload_key,
+             CASE WHEN broken THEN NULL ELSE
+               list_transform(
+                 range(0, (CASE WHEN trimmed THEN n_seg - 3
+                                ELSE n_seg END)::BIGINT),
+                 i -> CASE WHEN noisy
+                      THEN xor({h},
+                               (1::BIGINT << (i % 7)::INT)
+                               + (1::BIGINT << (7 + g % 13)::INT))
+                      ELSE {h} END)
+             END AS seg_hashes
+      FROM seg_meta
+    )
+    """
+
+
+def _seg_band_rows_cte(
+    name: str, src: str, id_expr: str = "media_id", bands: int = SEG_BANDS
+) -> str:
+    """segment_band_rows mirror: distinct (id, band, key) bit slices."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return f"""
+    {name} AS MATERIALIZED (
+      SELECT DISTINCT {id_expr} AS id, band,
+             (h >> ({width} * band)) & {mask} AS key
+      FROM (SELECT {id_expr}, unnest(seg_hashes) AS h FROM {src}
+            WHERE seg_hashes IS NOT NULL)
+      CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) _b
+    )
+    """
+
+
+_SEG_FRAC = (
+    "(len(list_filter(sa.seg_hashes, x -> len(list_filter(sb.seg_hashes,"
+    " y -> bit_count(xor(x, y)) <= {r})) > 0))"
+    " + len(list_filter(sb.seg_hashes, y -> len(list_filter(sa.seg_hashes,"
+    " x -> bit_count(xor(y, x)) <= {r})) > 0)))::DOUBLE"
+    " / (len(sa.seg_hashes) + len(sb.seg_hashes))"
+)
+
+
+def segment_clusters_sql(
+    bands: int = SEG_BANDS,
+    max_hamming: int = SEG_MAX_HAMMING,
+    min_match_frac: float = SEG_MIN_MATCH_FRAC,
+    bucket_cap: int = SEG_BUCKET_CAP,
+) -> str:
+    """segment_dedup_report(...)["tiers"] over the synthetic frame:
+    (media_id, cluster_id, tier). Edge families: exact (payload_key
+    groups — injective for sha2), seg_exact (hash-list groups —
+    injective for the comma-joined signature sha), seg_near (banded
+    candidates under the pairs_from_buckets cap contract, verified by
+    the symmetric match fraction). Closure via the recursive min-label
+    CTE (the near_dup_text_clusters precedent), ids compared as
+    STRINGS exactly like the engine. Tier = strongest incident edge
+    kind; component heads 'canonical', singletons 'unique'."""
+    frac = _SEG_FRAC.format(r=max_hamming)
+    return f"""
+    WITH RECURSIVE {segment_fps_ctes()},
+    {_seg_band_rows_cte("seg_rows", "seg_fps", bands=bands)},
+    bstats AS (
+      SELECT band, key, count(*) AS n, min(id) AS mn
+      FROM seg_rows GROUP BY band, key HAVING count(*) >= 2
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a, b FROM (
+        SELECT r1.id AS a, r2.id AS b
+        FROM seg_rows r1
+        JOIN bstats s ON r1.band = s.band AND r1.key = s.key
+        JOIN seg_rows r2 ON r2.band = s.band AND r2.key = s.key
+        WHERE s.n <= {bucket_cap} AND r1.id < r2.id
+        UNION ALL
+        SELECT s.mn AS a, r.id AS b
+        FROM seg_rows r
+        JOIN bstats s ON r.band = s.band AND r.key = s.key
+        WHERE s.n > {bucket_cap} AND r.id <> s.mn
+      )
+    ),
+    near AS MATERIALIZED (
+      SELECT a, b FROM cand
+      JOIN seg_fps sa ON sa.media_id = cand.a
+      JOIN seg_fps sb ON sb.media_id = cand.b
+      WHERE {frac} >= {min_match_frac}
+    ),
+    ex_groups AS (
+      SELECT payload_key, min(media_id) AS hub, count(*) AS n
+      FROM seg_fps GROUP BY payload_key HAVING count(*) > 1
+    ),
+    ex_pairs AS (
+      SELECT g.hub AS a, f.media_id AS b
+      FROM seg_fps f JOIN ex_groups g USING (payload_key)
+      WHERE f.media_id <> g.hub
+    ),
+    sig_groups AS (
+      SELECT seg_hashes, min(media_id) AS hub, count(*) AS n
+      FROM seg_fps WHERE status = 'ok'
+      GROUP BY seg_hashes HAVING count(*) > 1
+    ),
+    sig_pairs AS (
+      SELECT g.hub AS a, f.media_id AS b
+      FROM (SELECT media_id, seg_hashes FROM seg_fps
+            WHERE status = 'ok') f
+      JOIN sig_groups g ON f.seg_hashes = g.seg_hashes
+      WHERE f.media_id <> g.hub
+    ),
+    allp AS (
+      SELECT a, b FROM ex_pairs
+      UNION SELECT a, b FROM sig_pairs
+      UNION SELECT a, b FROM near
+    ),
+    und AS (SELECT a, b FROM allp UNION SELECT b AS a, a AS b FROM allp),
+    nodes AS (SELECT DISTINCT a AS id FROM und),
+    reach AS (
+      SELECT id, id AS lbl FROM nodes
+      UNION
+      SELECT u.b AS id, r.lbl FROM reach r JOIN und u ON u.a = r.id
+    ),
+    comp AS (
+      SELECT id AS media_id, min(lbl) AS cluster_id
+      FROM reach GROUP BY id
+    ),
+    kinds AS (
+      SELECT f.media_id, 1 AS p
+      FROM seg_fps f JOIN ex_groups g USING (payload_key)
+      UNION ALL
+      SELECT f.media_id, 2 AS p
+      FROM (SELECT media_id, seg_hashes FROM seg_fps
+            WHERE status = 'ok') f
+      JOIN sig_groups g ON f.seg_hashes = g.seg_hashes
+      UNION ALL SELECT a AS media_id, 3 AS p FROM near
+      UNION ALL SELECT b AS media_id, 3 AS p FROM near
+    ),
+    best_kind AS (SELECT media_id, min(p) AS p FROM kinds GROUP BY media_id)
+    SELECT f.media_id,
+           coalesce(c.cluster_id, f.media_id) AS cluster_id,
+           CASE WHEN c.media_id IS NULL THEN 'unique'
+                WHEN f.media_id = c.cluster_id THEN 'canonical'
+                WHEN k.p = 1 THEN 'exact'
+                WHEN k.p = 2 THEN 'seg_exact'
+                ELSE 'seg_near' END AS tier
+    FROM seg_fps f
+    LEFT JOIN comp c USING (media_id)
+    LEFT JOIN best_kind k ON k.media_id = f.media_id
+    """
+
+
+def segment_novelty_sql(
+    bands: int = SEG_BANDS,
+    max_hamming: int = SEG_MAX_HAMMING,
+    min_match_frac: float = SEG_MIN_MATCH_FRAC,
+    ref_bucket_cap: int = SEG_REF_BUCKET_CAP,
+) -> str:
+    """segment_novelty(batch = did%4==3, ref = rest) over the synthetic
+    frame: cross-side-only banded candidates, reference buckets capped
+    with a min-id witness, verified best match per batch item ordered
+    (frac DESC, ref_id ASC) — the min_by struct packing mirrored as a
+    window rank."""
+    frac = _SEG_FRAC.format(r=max_hamming)
+    return f"""
+    WITH {segment_fps_ctes()},
+    batch_fps AS (SELECT * FROM seg_fps WHERE did % 4 = 3),
+    ref_fps AS (SELECT * FROM seg_fps WHERE did % 4 <> 3),
+    {_seg_band_rows_cte("b_rows", "batch_fps", bands=bands)},
+    {_seg_band_rows_cte("r_rows", "ref_fps", bands=bands)},
+    r_stats AS (
+      SELECT band, key, count(*) AS n, min(id) AS mn
+      FROM r_rows GROUP BY band, key
+    ),
+    r_capped AS (
+      SELECT r.band, r.key, r.id AS rid
+      FROM r_rows r JOIN r_stats s ON r.band = s.band AND r.key = s.key
+      WHERE s.n <= {ref_bucket_cap} OR r.id = s.mn
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT b.id AS bid, r.rid
+      FROM b_rows b JOIN r_capped r ON b.band = r.band AND b.key = r.key
+    ),
+    verified AS (
+      SELECT bid, rid, {frac} AS match_frac
+      FROM cand
+      JOIN batch_fps sa ON sa.media_id = cand.bid
+      JOIN ref_fps sb ON sb.media_id = cand.rid
+      WHERE sa.seg_hashes IS NOT NULL AND sb.seg_hashes IS NOT NULL
+    ),
+    scored AS (SELECT * FROM verified WHERE match_frac >= {min_match_frac}),
+    best AS (
+      SELECT bid, rid, match_frac FROM (
+        SELECT bid, rid, match_frac, row_number() OVER (
+          PARTITION BY bid ORDER BY match_frac DESC, rid ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT f.media_id, b.rid AS match_ref_id, b.match_frac,
+           b.rid IS NULL AS is_novel
+    FROM batch_fps f LEFT JOIN best b ON b.bid = f.media_id
+    """
+
+
+def frames_matching_images_sql(
+    bands: int = SEG_BANDS,
+    max_hamming: int = 4,
+    image_bucket_cap: int = SEG_REF_BUCKET_CAP,
+) -> str:
+    """video_dedup.frames_matching_images over the synthetic canonical
+    videos (did%4==0, status ok) and synthetic_modal_images stills
+    (one per did%4==1 row): banded cross-modal candidates, image
+    buckets capped with a min-id witness, bit_count verify. Output one
+    row per (video, frame_pos, image) match with the Hamming
+    distance."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    still = _H60.format(s="'still:' || did::VARCHAR")
+    fam = _H60.format(
+        s="'seg:fam:' || g::VARCHAR || ':' || (did % n_seg)::VARCHAR"
+    )
+    return f"""
+    WITH {segment_fps_ctes()},
+    vids AS (
+      SELECT media_id AS video_id, seg_hashes FROM seg_fps
+      WHERE did % 4 = 0 AND status = 'ok'
+    ),
+    v_rows AS MATERIALIZED (
+      SELECT video_id, i - 1 AS frame_pos, seg_hashes[i] AS h, band,
+             (seg_hashes[i] >> ({width} * band)) & {mask} AS key
+      FROM vids
+      CROSS JOIN (SELECT unnest(range(1, 21)) AS i) _i
+      CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) _b
+      WHERE i <= len(seg_hashes)
+    ),
+    imgs AS (
+      SELECT 'img:' || did::VARCHAR AS image_id,
+             CASE WHEN solo OR broken THEN {still}
+                  WHEN g % 2 = 1
+                  THEN xor({fam}, (1::BIGINT << (g % 20)::INT))
+                  ELSE {fam} END AS ph
+      FROM (SELECT did, g, solo, broken, 8 + (g % 5) AS n_seg
+            FROM seg_base WHERE did % 4 = 1)
+    ),
+    i_rows AS MATERIALIZED (
+      SELECT image_id, ph, band, (ph >> ({width} * band)) & {mask} AS key
+      FROM imgs
+      CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) _b
+    ),
+    i_stats AS (
+      SELECT band, key, count(*) AS n, min(image_id) AS mn
+      FROM i_rows GROUP BY band, key
+    ),
+    i_capped AS (
+      SELECT r.band, r.key, r.image_id, r.ph
+      FROM i_rows r JOIN i_stats s ON r.band = s.band AND r.key = s.key
+      WHERE s.n <= {image_bucket_cap} OR r.image_id = s.mn
+    )
+    SELECT DISTINCT v.video_id, v.frame_pos, i.image_id,
+           bit_count(xor(v.h, i.ph))::BIGINT AS hamming
+    FROM v_rows v JOIN i_capped i ON v.band = i.band AND v.key = i.key
+    WHERE bit_count(xor(v.h, i.ph)) <= {max_hamming}
     """

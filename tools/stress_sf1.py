@@ -79,6 +79,11 @@ QUERIES = [
     "pair_score_histogram",
     "event_props_stats",
     "near_dup_source_matrix",
+    # round-4 additions: media segment chain + bounded-golden metrics
+    "segment_clusters",
+    "segment_novelty",
+    "frames_matching_images",
+    "dedup_pair_metrics_golden",
 ]
 
 
