@@ -292,6 +292,82 @@ def main() -> None:
         N_BENCH_REGION_IMAGES / timings["images_region_dedup"], 1
     )
 
+    # streaming end-to-end latency (VERDICT r03 item 7): one availableNow
+    # run over pre-split input files with maxFilesPerTrigger=1, so every
+    # file is its own micro-batch and the wall includes the full
+    # per-batch cycle — epoch-state load, dedup, verdicts, state write.
+    # Throughput = rows / total wall across all batches.
+    import shutil as _sh
+
+    from ordinarydumpdeduplicator_spark.streaming.ingest_dedup import (
+        stream_ingest_dedup,
+    )
+
+    stream_root = os.path.join(data_dir, "stream_bench")
+    _sh.rmtree(stream_root, ignore_errors=True)
+    text_in = os.path.join(stream_root, "text_in")
+    n_text_rows = docs.count()
+    n_text_batches = 5
+    (
+        docs.select("doc_id", "text")
+        .repartition(n_text_batches)
+        .write.mode("overwrite")
+        .parquet(text_in)
+    )
+
+    def run_text_stream():
+        q = stream_ingest_dedup(
+            spark,
+            text_in,
+            os.path.join(stream_root, "text_state"),
+            os.path.join(stream_root, "text_ck"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+
+    timings["streaming_text_ingest"] = _time(run_text_stream)
+    timings["streaming_text_rows_per_sec"] = round(
+        n_text_rows / timings["streaming_text_ingest"], 1
+    )
+
+    from ordinarydumpdeduplicator_spark.operators.video_dedup import (
+        VIDEO_FP_SCHEMA,
+        video_fingerprints,
+    )
+    from ordinarydumpdeduplicator_spark.streaming.media_ingest import (
+        stream_media_novelty,
+    )
+
+    n_stream_videos = min(1500, N_BENCH_VIDEOS)
+    media_in = os.path.join(stream_root, "media_in")
+    (
+        videos.limit(n_stream_videos)
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(media_in)
+    )
+
+    def run_media_stream():
+        q = stream_media_novelty(
+            spark,
+            media_in,
+            os.path.join(stream_root, "media_state"),
+            os.path.join(stream_root, "media_ck"),
+            fingerprint_fn=video_fingerprints,
+            input_schema="video_id string, bytes binary",
+            fp_schema=VIDEO_FP_SCHEMA,
+            id_col="video_id",
+            hashes_col="frame_hashes",
+            prefix="frame",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+
+    timings["streaming_media_ingest"] = _time(run_media_stream)
+    timings["streaming_media_items_per_sec"] = round(
+        n_stream_videos / timings["streaming_media_ingest"], 1
+    )
+
     wall, wall_cold, n_assigned = bench_images_pipeline(
         spark, N_BENCH_IMAGES, data_dir
     )
@@ -303,11 +379,8 @@ def main() -> None:
         sum(
             v
             for k, v in timings.items()
-            if k not in (
-                "images_per_sec", "images_pipeline_cold",
-                "videos_per_sec", "audio_per_sec",
-                "images_region_per_sec",
-            )
+            if k != "images_pipeline_cold"
+            and not k.endswith("_per_sec")
         ),
         3,
     )

@@ -21,10 +21,11 @@ Scale shape (100 TB): both operators aggregate the corpus down to one row
 per (source, key) — ``S * NUM_HASHES`` sketch rows / per-(sha, source)
 counts — before anything pairwise happens, so the pairwise stage is
 quadratic only in the number of SOURCES, never in documents. For very
-large source counts (> ~10^4) the full-matrix join below should be
-replaced by an agreement-only equi-join on (j, v) (pairs with zero
-agreement drop out); the full matrix is the report the operator promises,
-so it keeps the j-join and documents the cutover.
+large source counts (> ~10^4) pass ``agreement_only=True`` to
+:func:`source_overlap_minhash` — an equi-join on (j, v) that drops
+zero-agreement pairs instead of materializing the S x S matrix; the
+default keeps the full matrix because that is the report the operator
+promises.
 """
 
 from __future__ import annotations
@@ -68,6 +69,7 @@ def source_overlap_minhash(
     docs: DataFrame,
     source_col: str = "source",
     text_col: str = "text",
+    agreement_only: bool = False,
 ) -> DataFrame:
     """Pairwise estimated shingle-set Jaccard between sources.
 
@@ -75,16 +77,31 @@ def source_overlap_minhash(
     ``n_agree`` = number of agreeing sketch coordinates and
     ``est_jaccard`` = n_agree / NUM_HASHES (the standard MinHash unbiased
     agreement estimator). Sources whose documents have no shingles at all
-    produce no sketch and are absent from the matrix."""
+    produce no sketch and are absent from the matrix.
+
+    ``agreement_only`` is the very-many-sources cutover (> ~10^4
+    sources, where the full S x S x NUM_HASHES theta-join stops being a
+    report anyone reads anyway): join sketch rows on (j, v) EQUALITY —
+    an equi-join Spark executes as a hash join with no cross product —
+    so only pairs with at least one agreeing coordinate survive.
+    Agreeing pairs carry identical n_agree/est_jaccard in both modes
+    (pinned by test_corpus_stats); zero-agreement pairs are absent
+    rather than reported as 0.0."""
     sk = source_minhash_sketches(docs, source_col, text_col)
     a = sk.alias("a")
     b = sk.alias("b")
-    return (
-        a.join(
-            b,
+    if agreement_only:
+        join_cond = (
             (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.source") < F.col("b.source")),
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.source") < F.col("b.source"))
         )
+    else:
+        join_cond = (F.col("a.j") == F.col("b.j")) & (
+            F.col("a.source") < F.col("b.source")
+        )
+    return (
+        a.join(b, join_cond)
         .groupBy(
             F.col("a.source").alias("source_a"),
             F.col("b.source").alias("source_b"),

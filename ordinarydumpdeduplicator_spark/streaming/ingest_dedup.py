@@ -90,6 +90,7 @@ def stream_ingest_dedup(
     bits_per_shard: int = DEFAULT_BITS_PER_SHARD,
     k_hashes: int = DEFAULT_K_HASHES,
     schema: str = DOCS_SCHEMA,
+    max_files_per_trigger: int | None = None,
 ):
     """Start the streaming ingest-dedup query over a parquet document
     stream (``doc_id``, ``text``). Returns the StreamingQuery; read the
@@ -250,9 +251,13 @@ def stream_ingest_dedup(
         for _, p in bloom_epochs[:-1]:
             shutil.rmtree(p, ignore_errors=True)
 
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # bounded micro-batches even under availableNow — the per-batch
+        # latency benchmark shape (one input file per batch)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     writer = (
-        spark.readStream.schema(schema)
-        .parquet(input_path)
+        reader.parquet(input_path)
         .writeStream.foreachBatch(handle_batch)
         .option("checkpointLocation", checkpoint_dir)
     )

@@ -130,6 +130,7 @@ def stream_media_novelty(
     min_match_frac: float = 0.5,
     ref_bucket_cap: int = 1024,
     batch_bucket_cap: int = 64,
+    max_files_per_trigger: int | None = None,
 ):
     """Start the streaming media-novelty query over a parquet payload
     stream (``id_col``, ``bytes``). ``fingerprint_fn`` maps the raw batch
@@ -324,10 +325,12 @@ def stream_media_novelty(
         finally:
             fps_b.unpersist()
 
-    reader = (
-        spark.readStream.schema(input_schema).format("parquet")
-        .load(input_path)
-    )
+    reader = spark.readStream.schema(input_schema).format("parquet")
+    if max_files_per_trigger is not None:
+        # bounded micro-batches even under availableNow — the per-batch
+        # latency benchmark shape (one input file per batch)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    reader = reader.load(input_path)
     writer = reader.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
     )

@@ -71,6 +71,32 @@ def test_source_overlap_identical_and_disjoint(spark):
     assert out[("s2", "s3")]["est_jaccard"] < 0.2
 
 
+def test_source_overlap_agreement_only_cutover(spark):
+    """The >10^4-sources cutover: the (j, v) equi-join path must report
+    IDENTICAL n_agree/est_jaccard for every agreeing pair, and only drop
+    the zero-agreement rows of the full matrix."""
+    rows = [
+        (1, "red fox jumps over the dog", "s1"),
+        (2, "blue whale swims in the sea", "s1"),
+        (3, "red fox jumps over the dog", "s2"),
+        (4, "blue whale swims in the sea", "s2"),
+        (5, "granite mountain stands alone tonight", "s3"),
+        (6, "red fox jumps over the dog", "s4"),
+    ]
+    full = {
+        (r["source_a"], r["source_b"]): (r["n_agree"], r["est_jaccard"])
+        for r in source_overlap_minhash(_docs(spark, rows)).collect()
+    }
+    agree = {
+        (r["source_a"], r["source_b"]): (r["n_agree"], r["est_jaccard"])
+        for r in source_overlap_minhash(
+            _docs(spark, rows), agreement_only=True
+        ).collect()
+    }
+    assert agree == {k: v for k, v in full.items() if v[0] > 0}
+    assert ("s1", "s2") in agree and ("s1", "s4") in agree
+
+
 def test_source_overlap_skips_shingle_free_sources(spark):
     rows = [
         (1, "some real text here", "s1"),
