@@ -314,3 +314,28 @@ def test_pair_score_histogram_single_jaccard_pass(spark, queries):
     # exactly one scoring evaluation of the verify UDF in the whole plan
     assert plan.count("jaccard_udf(t_a") <= 1
     assert "HashAggregate" in plan
+
+
+def test_segment_chain_plan_is_codegen_only(spark, queries):
+    """The synthetic fingerprint generator and everything downstream of
+    it (band slicing, bit_count verify, CC seed pass, tier aggregate)
+    must be UDF-free JVM built-ins — zero Python eval nodes anywhere in
+    the segment contract plans — and the near verify must never become
+    a cartesian product."""
+    for name in ("segment_clusters", "segment_novelty",
+                 "frames_matching_images"):
+        plan = plan_of(queries[name](spark, SF))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_segment_clusters_no_wide_sort_aggregate(spark, queries):
+    """star_edges' hash-min hub trick: grouping by the fingerprint
+    frame's keys must stay HashAggregate; a min(string) SortAggregate
+    over the full band/sig frames is the 100 TB regression this pins.
+    (min(id) resolves on the tiny multi-member-group frame only, which
+    may legitimately SortAggregate — assert the big frames' aggregates
+    dominate as hash.)"""
+    plan = plan_of(queries["segment_clusters"](spark, SF))
+    assert plan.count("HashAggregate") >= 4

@@ -67,6 +67,11 @@ HEADLINE = [
     "pair_score_histogram",
     "event_props_stats",
     "near_dup_source_matrix",
+    # round 4: media segment chain + bounded-golden metrics
+    "segment_clusters",
+    "segment_novelty",
+    "frames_matching_images",
+    "dedup_pair_metrics_golden",
 ]
 
 
