@@ -156,9 +156,13 @@ def segment_near_pairs(
     b = sig.select(
         F.col(id_col).alias("dst"), F.col(hashes_col).alias("hb")
     )
+    # SHUFFLE_HASH on the join-backs: without the hint Catalyst picks
+    # SortMergeJoin and SORTS the fingerprint frame twice (measured in
+    # BENCH/plans.md) — the hash arrays are ~100 B/row, so a shuffled
+    # hash join builds tiny per-partition maps and nothing sorts
     return (
-        cand.join(a, "src")
-        .join(b, "dst")
+        cand.join(a.hint("shuffle_hash"), "src")
+        .join(b.hint("shuffle_hash"), "dst")
         .withColumn("match_frac", match_frac_expr("ha", "hb", max_hamming))
         .filter(F.col("match_frac") >= min_match_frac)
         .select("src", "dst", "match_frac", "capped")
@@ -281,7 +285,10 @@ def segment_dedup_report(
     )
     clusters = (
         fps.select(id_col)
-        .join(assign, id_col, "left")
+        # the assignment frame is dup-sized (orders of magnitude below
+        # the corpus); shuffle_hash keeps the corpus side sort-free and
+        # AQE still broadcasts it at runtime when small enough
+        .join(assign.hint("shuffle_hash"), id_col, "left")
         .select(
             id_col,
             F.coalesce("cluster_id", id_col).alias("cluster_id"),
@@ -338,12 +345,27 @@ def segment_novelty(
         # two consumers (bucket stats + join back) — cut once
         .localCheckpoint(eager=False)
     )
+    # two-phase cap stats: counting is a fixed-width HashAggregate; the
+    # min-id witness (a STRING min, which Spark executes as a
+    # SortAggregate over its whole input) is resolved only on the rare
+    # over-cap buckets, so nothing ever sorts the full reference band
+    # frame. A bucket with no over-cap row keeps all its rows (mn NULL).
     r_stats = r_rows.groupBy("band", "key").agg(
-        F.count(F.lit(1)).alias("n"), F.min("_rid").alias("mn")
+        F.count(F.lit(1)).alias("n")
+    )
+    over_mn = (
+        r_rows.join(
+            r_stats.filter(F.col("n") > ref_bucket_cap).hint(
+                "shuffle_hash"
+            ),
+            ["band", "key"],
+        )
+        .groupBy("band", "key")
+        .agg(F.min("_rid").alias("mn"))
     )
     r_capped = (
-        r_rows.join(r_stats, ["band", "key"])
-        .filter((F.col("n") <= ref_bucket_cap) | (F.col("_rid") == F.col("mn")))
+        r_rows.join(over_mn.hint("shuffle_hash"), ["band", "key"], "left")
+        .filter(F.col("mn").isNull() | (F.col("_rid") == F.col("mn")))
         .select("band", "key", "_rid")
     )
     cands = (
@@ -357,9 +379,11 @@ def segment_novelty(
     rh = ref_fps.filter(F.col(hashes_col).isNotNull()).select(
         F.col(id_col).alias("_rid"), F.col(hashes_col).alias("hb")
     )
+    # shuffle_hash join-backs: same no-sort rationale as
+    # segment_near_pairs — hash arrays are skinny, SMJ would sort both
     verified = (
-        cands.join(bh, "_bid")
-        .join(rh, "_rid")
+        cands.join(bh.hint("shuffle_hash"), "_bid")
+        .join(rh.hint("shuffle_hash"), "_rid")
         .withColumn("match_frac", match_frac_expr("ha", "hb", max_hamming))
         .filter(F.col("match_frac") >= min_match_frac)
         .select("_bid", "_rid", "match_frac")
@@ -378,7 +402,13 @@ def segment_novelty(
     )
     return (
         batch_fps.select(id_col)
-        .join(best.withColumnRenamed("_bid", id_col), id_col, "left")
+        # `best` is candidate-volume-sized; shuffle_hash keeps the batch
+        # side sort-free (AQE still broadcasts it when small)
+        .join(
+            best.withColumnRenamed("_bid", id_col).hint("shuffle_hash"),
+            id_col,
+            "left",
+        )
         .select(
             id_col,
             F.col("m._rid").alias("match_ref_id"),

@@ -334,7 +334,10 @@ def tier_attribution(
             F.element_at(labels, F.col("p").cast("int")).alias("_tier"),
         )
     )
-    return clusters.join(touched, id_col, "left").select(
+    # `touched` is edge-endpoint-sized; shuffle_hash avoids Catalyst's
+    # stats-blind SortMergeJoin (which sorts the corpus side), and AQE
+    # still upgrades to broadcast at runtime when the dup set is small
+    return clusters.join(touched.hint("shuffle_hash"), id_col, "left").select(
         id_col,
         "cluster_id",
         F.when(~F.col("is_dup"), F.lit("unique"))

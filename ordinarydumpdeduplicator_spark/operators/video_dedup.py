@@ -254,14 +254,27 @@ def frames_matching_images(
         # chain computes once
         .localCheckpoint(eager=False)
     )
+    # two-phase cap stats (same rationale as segment_novelty): the
+    # count is a fixed-width HashAggregate; the STRING min-id witness
+    # resolves only on over-cap buckets, so the full image band frame
+    # never feeds a SortAggregate
     i_stats = i_rows.groupBy("band", "key").agg(
-        F.count(F.lit(1)).alias("n"), F.min("image_id").alias("mn")
+        F.count(F.lit(1)).alias("n")
+    )
+    over_mn = (
+        i_rows.join(
+            i_stats.filter(F.col("n") > image_bucket_cap).hint(
+                "shuffle_hash"
+            ),
+            ["band", "key"],
+        )
+        .groupBy("band", "key")
+        .agg(F.min("image_id").alias("mn"))
     )
     i_capped = (
-        i_rows.join(i_stats, ["band", "key"])
+        i_rows.join(over_mn.hint("shuffle_hash"), ["band", "key"], "left")
         .filter(
-            (F.col("n") <= image_bucket_cap)
-            | (F.col("image_id") == F.col("mn"))
+            F.col("mn").isNull() | (F.col("image_id") == F.col("mn"))
         )
         .select("band", "key", "image_id", "ph")
     )

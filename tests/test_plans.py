@@ -328,14 +328,19 @@ def test_segment_chain_plan_is_codegen_only(spark, queries):
         assert "EvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+        # stats-blind Catalyst picks SortMergeJoin for the verify
+        # join-backs and the corpus-side assignment joins, sorting the
+        # fingerprint frame; shuffle_hash hints keep every join sort-free
+        assert "SortMergeJoin" not in plan, name
 
 
 def test_segment_clusters_no_wide_sort_aggregate(spark, queries):
-    """star_edges' hash-min hub trick: grouping by the fingerprint
-    frame's keys must stay HashAggregate; a min(string) SortAggregate
-    over the full band/sig frames is the 100 TB regression this pins.
-    (min(id) resolves on the tiny multi-member-group frame only, which
-    may legitimately SortAggregate — assert the big frames' aggregates
-    dominate as hash.)"""
+    """star_edges' hash-min hub trick + the two-phase cap stats: no
+    aggregate over the full band/sig frames may be a SortAggregate —
+    the clusters chain is fully sort-free; novelty/cross-modal keep
+    SortAggregates only on over-cap-bucket and candidate-volume frames
+    (min-id witness, min_by best-match)."""
     plan = plan_of(queries["segment_clusters"](spark, SF))
     assert plan.count("HashAggregate") >= 4
+    assert "SortAggregate" not in plan
+    assert "() Sort " not in plan
