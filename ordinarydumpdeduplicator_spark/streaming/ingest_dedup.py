@@ -49,13 +49,27 @@ from ..operators.bloom_dedup import (
     incremental_new_docs,
 )
 from ..operators.text_dedup import normalized_text
-from .near_dup import _committed_epochs
+from .near_dup import _committed_epochs, compact_epoch_dirs
 
 DOCS_SCHEMA = "doc_id long, text string"
 KEYS_SCHEMA = "content_sha string, shard int"
 BLOOMS_SCHEMA = (
     "shard int, bits binary, n_shards int, bits_per_shard int, k_hashes int"
 )
+
+
+def compact_ingest_keys(spark: SparkSession, state_dir: str) -> int:
+    """Merge the committed key-store epochs (all but the newest) into
+    the oldest epoch dir, preserving the shard clustering the
+    IN-predicate row-group pruning relies on — the text twin of
+    media_ingest.compact_media_index. Offline maintenance; run while
+    the stream is stopped. Returns epochs merged."""
+    return compact_epoch_dirs(
+        spark,
+        os.path.join(state_dir, "keys"),
+        KEYS_SCHEMA,
+        cluster_by=["shard"],
+    )
 
 
 def load_ingest_metrics(

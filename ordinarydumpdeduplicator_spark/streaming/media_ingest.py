@@ -68,7 +68,7 @@ from pyspark.sql import functions as F
 
 from ..operators.connected_components import connected_components
 from ..operators.segment_dedup import segment_edges, segment_novelty
-from .near_dup import _committed_epochs
+from .near_dup import _committed_epochs, compact_epoch_dirs
 
 VERDICTS_SCHEMA = (
     "{id_col} string, outcome string, match_ref_id string, "
@@ -110,6 +110,33 @@ def load_media_metrics(
         return None
     return spark.read.schema(METRICS_SCHEMA).parquet(
         *[p for _, p in epochs]
+    )
+
+
+def compact_media_index(
+    spark: SparkSession, state_dir: str, fp_schema: str
+) -> int:
+    """Merge the committed fingerprint DELTA epochs into the oldest
+    epoch directory — the small-files fix for a long-running media
+    ingest (every batch with novel content appends one epoch dir; a
+    month of micro-batches reads thousands of tiny parquet files per
+    batch, spending the wall on listings and footers, not data).
+
+    The newest committed epoch is deliberately left untouched: it is
+    the only epoch a crash-replayed batch may overwrite (stream
+    checkpoints advance in order), so compaction never races a heal.
+    Merged rows land in the LOWEST epoch directory, preserving the
+    strictly-below loader contract for every future batch id. Deltas
+    are disjoint by construction (each holds one batch's novel
+    clusters), so the merge is a plain union — no dedup pass.
+
+    Swap is the compact_stage two-rename pattern (write to a sibling
+    ``.compacting`` dir, keep ``.pre_compact`` until success), run it
+    only while the stream is stopped — it is offline maintenance, like
+    sinks.compact_stage. Returns the number of epoch dirs merged
+    (0 = nothing to do)."""
+    return compact_epoch_dirs(
+        spark, os.path.join(state_dir, "fps"), fp_schema
     )
 
 

@@ -76,6 +76,49 @@ def _committed_epochs(base: str, below: int | None = None) -> list[tuple[int, st
     return sorted(out)
 
 
+def compact_epoch_dirs(
+    spark: SparkSession,
+    base: str,
+    schema: str,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Merge all committed epoch DELTA dirs except the newest into the
+    oldest — the small-files fix for any strictly-below epoch store
+    (media fingerprint index, ingest key store): a month of
+    micro-batches otherwise reads thousands of tiny parquet files per
+    batch. The newest epoch stays untouched because it is the only one
+    a crash-replayed batch may overwrite; merged rows land in the
+    LOWEST epoch dir so every future batch id still loads them.
+    Offline maintenance (run while the stream is stopped); swap is the
+    compact_stage two-rename pattern. ``cluster_by`` re-clusters the
+    merged rows (repartition + sortWithinPartitions) so a store whose
+    per-epoch files were written clustered — e.g. the ingest key store,
+    shard-clustered for IN-predicate row-group pruning — keeps that
+    property through compaction. Returns epochs merged (0 = no-op;
+    needs >= 3 committed epochs)."""
+    epochs = _committed_epochs(base)
+    if len(epochs) <= 2:
+        return 0
+    merge = epochs[:-1]
+    lo = merge[0][1]
+    union = spark.read.schema(schema).parquet(*[p for _, p in merge])
+    if cluster_by:
+        union = union.repartition(*cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    tmp = lo + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    union.write.mode("overwrite").parquet(tmp)
+    pre = lo + ".pre_compact"
+    shutil.rmtree(pre, ignore_errors=True)
+    os.rename(lo, pre)
+    os.rename(tmp, lo)
+    for _, p in merge[1:]:
+        shutil.rmtree(p)
+    shutil.rmtree(pre)
+    return len(merge)
+
+
 def _load_union(
     spark: SparkSession, base: str, schema: str, below: int
 ) -> DataFrame | None:

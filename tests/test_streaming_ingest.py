@@ -151,3 +151,60 @@ def test_stream_ingest_metrics_accounting(spark, tmp_path):
     # passthrough rows are what load_new_docs returns)
     total = sum(r.n_new + r.n_null_key for r in m.values())
     assert total == load_new_docs(spark, state).count()
+
+
+def test_compact_ingest_keys(spark, tmp_path):
+    """Key-store compaction: same keys, fewer epoch dirs, shard
+    clustering preserved, and the next wave still dedups against the
+    merged history."""
+    import os
+
+    from ordinarydumpdeduplicator_spark.streaming.ingest_dedup import (
+        KEYS_SCHEMA,
+        compact_ingest_keys,
+        load_new_docs,
+        stream_ingest_dedup,
+    )
+
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    os.makedirs(inp, exist_ok=True)
+
+    def wave(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+        q = stream_ingest_dedup(spark, inp, state, ck)
+        q.awaitTermination()
+
+    wave([(1, "alpha"), (2, "beta")])
+    wave([(3, "gamma")])
+    wave([(4, "delta")])
+
+    keys_dir = os.path.join(state, "keys")
+
+    def key_set():
+        from ordinarydumpdeduplicator_spark.streaming.near_dup import (
+            _committed_epochs,
+        )
+
+        return sorted(
+            (r["content_sha"], r["shard"])
+            for r in spark.read.schema(KEYS_SCHEMA)
+            .parquet(*[p for _, p in _committed_epochs(keys_dir)])
+            .collect()
+        )
+
+    before = key_set()
+    assert len(os.listdir(keys_dir)) == 3
+    assert compact_ingest_keys(spark, state) == 2
+    assert len(os.listdir(keys_dir)) == 2
+    assert key_set() == before
+
+    # history dedup across the compaction boundary: re-send old text
+    wave([(5, "alpha"), (6, "epsilon")])
+    new_ids = sorted(
+        r["doc_id"] for r in load_new_docs(spark, state).collect()
+    )
+    assert 5 not in new_ids and 6 in new_ids

@@ -188,3 +188,51 @@ def test_stream_media_replay_heals(spark, tmp_path):
         for r in load_media_verdicts(spark, state).collect()
     }
     assert v["m"]["outcome"] == "ref_dup" and v["m"]["match_ref_id"] == "d"
+
+
+def test_compact_media_index(spark, tmp_path):
+    """Compaction merges all-but-the-newest fingerprint epochs into the
+    oldest dir: same index content, fewer epoch dirs, and the healed
+    strictly-below loader contract still dedups the next wave."""
+    from ordinarydumpdeduplicator_spark.streaming.media_ingest import (
+        compact_media_index,
+    )
+
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    os.makedirs(inp, exist_ok=True)
+
+    for unit in ("x", "y", "z"):
+        _write_wave(spark, inp, [(unit, _avi(unit))])
+        _run_once(spark, inp, state, ck)
+
+    def index_rows():
+        return sorted(
+            (r["video_id"], tuple(r["frame_hashes"] or []))
+            for r in load_reference_fps(
+                spark, state, VIDEO_FP_SCHEMA
+            ).collect()
+        )
+
+    before = index_rows()
+    fps_dir = os.path.join(state, "fps")
+    assert len(os.listdir(fps_dir)) == 3
+
+    assert compact_media_index(spark, state, VIDEO_FP_SCHEMA) == 2
+    dirs = sorted(os.listdir(fps_dir))
+    assert len(dirs) == 2 and dirs[0] == "epoch=0"
+    assert index_rows() == before
+
+    # idempotent / no-op below 3 epochs
+    assert compact_media_index(spark, state, VIDEO_FP_SCHEMA) == 0
+
+    # the compacted index still dedups: re-upload a re-mux of wave-1
+    # content whose delta now lives in the merged epoch
+    _write_wave(spark, inp, [("rx", _avi("x", fps=25))])
+    _run_once(spark, inp, state, ck)
+    v = {
+        r["video_id"]: r
+        for r in load_media_verdicts(spark, state).collect()
+    }
+    assert v["rx"]["outcome"] == "ref_dup" and v["rx"]["match_ref_id"] == "x"
