@@ -1463,10 +1463,15 @@ def frames_matching_images_sql(
       WHERE did % 4 = 0 AND status = 'ok'
     ),
     v_rows AS MATERIALIZED (
+      -- subscript bound derived from the data (the engine posexplodes
+      -- ALL frame hashes; a hard-coded literal would silently truncate
+      -- if the generator's segment counts ever grow)
       SELECT video_id, i - 1 AS frame_pos, seg_hashes[i] AS h, band,
              (seg_hashes[i] >> ({width} * band)) & {mask} AS key
       FROM vids
-      CROSS JOIN (SELECT unnest(range(1, 21)) AS i) _i
+      CROSS JOIN (SELECT unnest(range(
+        1, (SELECT coalesce(max(len(seg_hashes)), 0) FROM vids) + 1
+      )) AS i) _i
       CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) _b
       WHERE i <= len(seg_hashes)
     ),

@@ -43,7 +43,9 @@ breaks the epoch alignment this protocol relies on.
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,17 +59,103 @@ REPS_SCHEMA = "caption_sha string, rep string"
 BANDS_SCHEMA = "id string, band int, key long"
 ASSIGN_SCHEMA = "image_id string, cluster_id string"
 
+_EPOCH_RE = re.compile(r"^epoch=(\d+)$")
+_MANIFEST = "_COMPACT_MANIFEST"
+_TMP_SUFFIX = ".compacting"
+_PRE_SUFFIX = ".pre_compact"
+
+
+def _finish_compaction_cleanup(base: str, lo: str) -> None:
+    """Post-swap cleanup, driven by the manifest the swap left inside
+    ``lo``: remove the merged-away epoch dirs, the ``.pre_compact``
+    backup, then the manifest itself (the "compaction done" marker).
+    Every step is idempotent, so a crash anywhere inside this function
+    is healed by simply running it again."""
+    man = os.path.join(lo, _MANIFEST)
+    with open(man) as f:
+        merged = json.load(f)["merged"]
+    lo_name = os.path.basename(lo)
+    for name in merged:
+        if name != lo_name:
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+    shutil.rmtree(lo + _PRE_SUFFIX, ignore_errors=True)
+    os.remove(man)
+
+
+def recover_compaction(base: str) -> None:
+    """Heal any state a crashed ``compact_epoch_dirs`` left behind.
+    Idempotent, pure os-ops (no Spark). The swap protocol's crash
+    windows and their recoveries:
+
+    - crash before ``rename(lo, pre)``: ``lo`` intact, a stray
+      ``.compacting`` dir -> delete the stray;
+    - crash between the two renames: ``lo`` missing, ``.pre_compact``
+      holds the old data, ``.compacting`` holds the committed merge ->
+      roll FORWARD (rename ``.compacting`` -> ``lo``) when its
+      ``_SUCCESS`` exists, else roll BACK (rename ``.pre_compact`` ->
+      ``lo``); either way the loader sees exactly one complete ``lo``;
+    - crash during cleanup: ``lo`` is the merged data and still carries
+      the manifest -> re-run the cleanup (delete merged-away epochs,
+      the backup, the manifest)."""
+    if not os.path.isdir(base):
+        return
+    for d in os.listdir(base):
+        if not d.endswith(_PRE_SUFFIX):
+            continue
+        lo = os.path.join(base, d[: -len(_PRE_SUFFIX)])
+        pre = os.path.join(base, d)
+        tmp = lo + _TMP_SUFFIX
+        if not os.path.isdir(lo):
+            if os.path.isdir(tmp) and os.path.exists(
+                os.path.join(tmp, "_SUCCESS")
+            ):
+                os.rename(tmp, lo)  # merge committed: roll forward
+            else:
+                os.rename(pre, lo)  # merge incomplete: roll back
+                shutil.rmtree(tmp, ignore_errors=True)
+    for d in os.listdir(base):
+        p = os.path.join(base, d)
+        if d.endswith(_TMP_SUFFIX) or d.endswith(_PRE_SUFFIX):
+            # lo exists in every remaining case (handled above), so any
+            # leftover swap dir is junk from a pre-rename crash or an
+            # interrupted cleanup
+            shutil.rmtree(p, ignore_errors=True)
+        elif _EPOCH_RE.match(d) and os.path.exists(
+            os.path.join(p, _MANIFEST)
+        ):
+            _finish_compaction_cleanup(base, p)
+
 
 def _committed_epochs(base: str, below: int | None = None) -> list[tuple[int, str]]:
     """(epoch, path) of committed epoch dirs, ascending; optionally only
-    epochs strictly below ``below`` (excludes a replayed batch's partials)."""
+    epochs strictly below ``below`` (excludes a replayed batch's partials).
+
+    Only dirs whose name is exactly ``epoch=<int>`` count — a crashed
+    compaction's ``epoch=N.compacting`` / ``epoch=N.pre_compact``
+    leftovers must not brick the parse. When such leftovers (or an
+    epoch still carrying a compaction manifest) are present the store
+    may be mid-swap, so the loader HEALS it first via
+    ``recover_compaction`` — reading around the leftovers could
+    silently drop the merged rows (the old ``lo`` dir is absent in the
+    between-renames window) or double-read them (cleanup window)."""
     if not os.path.isdir(base):
         return []
+    names = os.listdir(base)
+    if any(
+        d.endswith(_TMP_SUFFIX) or d.endswith(_PRE_SUFFIX) for d in names
+    ) or any(
+        os.path.exists(os.path.join(base, d, _MANIFEST))
+        for d in names
+        if _EPOCH_RE.match(d)
+    ):
+        recover_compaction(base)
+        names = os.listdir(base)
     out = []
-    for d in os.listdir(base):
-        if not d.startswith("epoch="):
+    for d in names:
+        m = _EPOCH_RE.match(d)
+        if not m:
             continue
-        e = int(d.split("=", 1)[1])
+        e = int(m.group(1))
         if below is not None and e >= below:
             continue
         p = os.path.join(base, d)
@@ -90,12 +178,19 @@ def compact_epoch_dirs(
     a crash-replayed batch may overwrite; merged rows land in the
     LOWEST epoch dir so every future batch id still loads them.
     Offline maintenance (run while the stream is stopped); swap is the
-    compact_stage two-rename pattern. ``cluster_by`` re-clusters the
+    compact_stage two-rename pattern, made crash-safe by a manifest:
+    the merged dir carries a ``_COMPACT_MANIFEST`` listing the epoch
+    dirs it absorbed (an underscore file, invisible to parquet
+    readers), so a crash in ANY window — before the renames, between
+    them, or mid-cleanup — is healed deterministically by
+    ``recover_compaction`` (which both this function and the epoch
+    loader invoke on entry). ``cluster_by`` re-clusters the
     merged rows (repartition + sortWithinPartitions) so a store whose
     per-epoch files were written clustered — e.g. the ingest key store,
     shard-clustered for IN-predicate row-group pruning — keeps that
     property through compaction. Returns epochs merged (0 = no-op;
     needs >= 3 committed epochs)."""
+    recover_compaction(base)
     epochs = _committed_epochs(base)
     if len(epochs) <= 2:
         return 0
@@ -106,16 +201,16 @@ def compact_epoch_dirs(
         union = union.repartition(*cluster_by).sortWithinPartitions(
             *cluster_by
         )
-    tmp = lo + ".compacting"
+    tmp = lo + _TMP_SUFFIX
     shutil.rmtree(tmp, ignore_errors=True)
     union.write.mode("overwrite").parquet(tmp)
-    pre = lo + ".pre_compact"
+    with open(os.path.join(tmp, _MANIFEST), "w") as f:
+        json.dump({"merged": [os.path.basename(p) for _, p in merge]}, f)
+    pre = lo + _PRE_SUFFIX
     shutil.rmtree(pre, ignore_errors=True)
     os.rename(lo, pre)
     os.rename(tmp, lo)
-    for _, p in merge[1:]:
-        shutil.rmtree(p)
-    shutil.rmtree(pre)
+    _finish_compaction_cleanup(base, lo)
     return len(merge)
 
 
