@@ -774,6 +774,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("hamming").cast("long").alias("hamming"),
         )
 
+    def q_segment_pair_metrics(spark, sf):
+        # VERDICT r04 item 4: the media recall loop, closed through the
+        # first-class eval operator — the segment chain's cluster
+        # assignments scored against the PLANTED pair set (derivable in
+        # SQL from segment_synth's family scheme: ids sharing a content
+        # family / a broken-payload key must co-cluster; star pairs per
+        # group, string-min hub in both engines). pair_recall == 1.0 on
+        # the planted corpus is additionally pinned by
+        # tests/test_segment_synth.py.
+        from ordinarydumpdeduplicator_spark.operators.dedup_eval import (
+            dedup_pair_metrics,
+        )
+        from ordinarydumpdeduplicator_spark.operators.segment_dedup import (
+            segment_dedup_report,
+        )
+        from ordinarydumpdeduplicator_spark.operators.segment_synth import (
+            SEG_BANDS,
+            SEG_BUCKET_CAP,
+            SEG_MAX_HAMMING,
+            SEG_MIN_MATCH_FRAC,
+            synthetic_segment_fingerprints,
+        )
+
+        d = _docs(spark, sf)
+        clusters = segment_dedup_report(
+            synthetic_segment_fingerprints(d),
+            id_col="media_id",
+            hashes_col="seg_hashes",
+            prefix="seg",
+            bands=SEG_BANDS,
+            max_hamming=SEG_MAX_HAMMING,
+            min_match_frac=SEG_MIN_MATCH_FRAC,
+            bucket_cap=SEG_BUCKET_CAP,
+        )["clusters"]
+        did = F.col("doc_id").cast("long")
+        gk = d.select(
+            did.cast("string").alias("mid"),
+            F.when(
+                did % 29 == 7,
+                F.concat(F.lit("broken:"), F.expr("doc_id div 58")),
+            )
+            .when(
+                F.expr("(doc_id div 4) % 3") == 2,
+                F.concat(F.lit("solo:"), did),
+            )
+            .otherwise(F.concat(F.lit("fam:"), F.expr("doc_id div 4")))
+            .alias("k"),
+        )
+        gg = (
+            gk.groupBy("k")
+            .agg(F.min("mid").alias("mn"), F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+        )
+        golden = (
+            gk.join(gg, "k")
+            .where(F.col("mid") != F.col("mn"))
+            .select(F.col("mn").alias("id_a"), F.col("mid").alias("id_b"))
+        )
+        return dedup_pair_metrics(
+            clusters, golden, id_col="media_id", cluster_col="cluster_id"
+        )
+
     def q_incremental_new_docs(spark, sf):
         from ordinarydumpdeduplicator_spark.operators.bloom_dedup import (
             incremental_new_docs,
@@ -1047,7 +1109,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position 50 holds a green CORRECTNESS_r03 row on unchanged code.
     # tools/check_oracles.py covers all entries every run regardless.
     return {
-        # -- never driver-checked: new r04 entries + the one red row --
+        # -- never driver-checked: the new r05 media-recall entry --
+        "segment_pair_metrics": q_segment_pair_metrics,
+        # -- r04-window head: all green in CORRECTNESS_r04; kept at the
+        #    front because frames_matching_images' oracle changed in r05
+        #    (derived subscript bound) and the segment chain feeds the
+        #    new entry above --
         "segment_clusters": q_segment_clusters,
         "segment_novelty": q_segment_novelty,
         "frames_matching_images": q_frames_matching_images,
@@ -1768,6 +1835,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_clusters": osql.segment_clusters_sql(),
         "segment_novelty": osql.segment_novelty_sql(),
         "frames_matching_images": osql.frames_matching_images_sql(),
+        "segment_pair_metrics": osql.segment_pair_metrics_sql(),
         "fuzzy_decontamination": osql.fuzzy_decontamination_sql(),
         "exact_substring_spans": f"SELECT * FROM ({_substring_spans_sql(8)})",
         "substring_dup_stats": f"""

@@ -1503,3 +1503,52 @@ def frames_matching_images_sql(
     FROM v_rows v JOIN i_capped i ON v.band = i.band AND v.key = i.key
     WHERE bit_count(xor(v.h, i.ph)) <= {max_hamming}
     """
+
+
+def segment_pair_metrics_sql() -> str:
+    """dedup_eval.dedup_pair_metrics over the media segment chain's
+    cluster assignments (segment_clusters_sql, which embeds the full
+    synthetic-fingerprint chain) and the PLANTED golden pair set: per
+    expected content group (family / solo / shared broken payload, the
+    segment_synth scheme keyed on doc_id alone) with >1 member, the
+    (string-min member, other member) star pairs — both engines pick
+    the hub by STRING min over the stringified id, so the pair sets are
+    byte-identical. Metrics fold mirrors dedup_pair_metrics_sql."""
+    return f"""
+    WITH assign AS MATERIALIZED (
+      SELECT media_id, cluster_id FROM ({segment_clusters_sql()})
+    ),
+    gk AS (
+      SELECT doc_id::VARCHAR AS mid,
+        CASE WHEN doc_id % 29 = 7
+               THEN 'broken:' || (doc_id // 58)::VARCHAR
+             WHEN (doc_id // 4) % 3 = 2
+               THEN 'solo:' || doc_id::VARCHAR
+             ELSE 'fam:' || (doc_id // 4)::VARCHAR END AS k
+      FROM documents
+    ),
+    gg AS (SELECT k, min(mid) AS mn FROM gk
+           GROUP BY k HAVING count(*) > 1),
+    golden AS (
+      SELECT g.mn AS id_a, k.mid AS id_b
+      FROM gk k JOIN gg g USING (k) WHERE k.mid <> g.mn
+    ),
+    ng AS (SELECT count(*)::BIGINT AS n_golden FROM golden),
+    pred AS (
+      SELECT sum((n * (n - 1)) // 2)::BIGINT AS n_predicted
+      FROM (SELECT count(*)::BIGINT AS n FROM assign GROUP BY cluster_id)
+    ),
+    hit AS (
+      SELECT count(*)::BIGINT AS n_hit
+      FROM golden g
+      JOIN assign ca ON g.id_a = ca.media_id
+      JOIN assign cb ON g.id_b = cb.media_id
+      WHERE ca.cluster_id = cb.cluster_id
+    )
+    SELECT n_golden, n_predicted, n_hit,
+           CASE WHEN n_golden > 0
+                THEN n_hit::DOUBLE / n_golden END AS pair_recall,
+           CASE WHEN n_predicted > 0
+                THEN n_hit::DOUBLE / n_predicted END AS pair_precision
+    FROM ng, pred, hit
+    """

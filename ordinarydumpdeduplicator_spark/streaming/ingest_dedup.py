@@ -49,7 +49,11 @@ from ..operators.bloom_dedup import (
     incremental_new_docs,
 )
 from ..operators.text_dedup import normalized_text
-from .near_dup import _committed_epochs, compact_epoch_dirs
+from .near_dup import (
+    _committed_epochs,
+    compact_epoch_dirs,
+    write_row_epoch,
+)
 
 DOCS_SCHEMA = "doc_id long, text string"
 KEYS_SCHEMA = "content_sha string, shard int"
@@ -113,6 +117,41 @@ def stream_ingest_dedup(
     keys_path = os.path.join(state_dir, "keys")
     blooms_path = os.path.join(state_dir, "blooms")
     metrics_path = os.path.join(state_dir, "metrics")
+    # cross-batch cache: the committed key-store listing and the loaded
+    # (persisted) bloom snapshot for the EXPECTED next batch id — the
+    # state below the current epoch is append-only within a run, so
+    # after batch N commits, batch N+1's state is batch N's plus the
+    # epoch-N dirs. A restart or replay misses the cache (batch id !=
+    # expected) and re-lists from disk, leaving the replay contract
+    # untouched; the fixed per-batch listing/snapshot-read cost no
+    # longer grows with the number of past batches.
+    cache: dict = {"next": None}
+
+    def _state_for(s: SparkSession, batch_id: int):
+        if cache.get("next") == batch_id:
+            return cache["key_dirs"], cache["blooms_df"], True
+        key_dirs = [p for _, p in _committed_epochs(keys_path, batch_id)]
+        bloom_epochs = _committed_epochs(blooms_path, batch_id)
+        if bloom_epochs:
+            blooms = (
+                s.read.schema(BLOOMS_SCHEMA)
+                .parquet(bloom_epochs[-1][1])
+                .persist()
+            )
+            return key_dirs, blooms, True
+        history = (
+            s.read.schema(KEYS_SCHEMA).parquet(*key_dirs)
+            if key_dirs
+            else s.createDataFrame([], KEYS_SCHEMA)
+        )
+        blooms = bloom_shards(
+            history.select("content_sha"),
+            "content_sha",
+            n_shards=n_shards,
+            bits_per_shard=bits_per_shard,
+            k_hashes=k_hashes,
+        ).persist()
+        return key_dirs, blooms, False
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -134,29 +173,17 @@ def stream_ingest_dedup(
             keyed.filter(F.col("content_sha").isNull())
         )
 
-        key_epochs = _committed_epochs(keys_path, batch_id)
+        key_dirs, blooms, from_snapshot = _state_for(s, batch_id)
         history = (
-            s.read.schema(KEYS_SCHEMA).parquet(*[p for _, p in key_epochs])
-            if key_epochs
+            s.read.schema(KEYS_SCHEMA).parquet(*key_dirs)
+            if key_dirs
             else s.createDataFrame([], KEYS_SCHEMA)
-        )
-        bloom_epochs = _committed_epochs(blooms_path, batch_id)
-        blooms = (
-            s.read.schema(BLOOMS_SCHEMA).parquet(bloom_epochs[-1][1])
-            if bloom_epochs
-            else bloom_shards(
-                history.select("content_sha"),
-                "content_sha",
-                n_shards=n_shards,
-                bits_per_shard=bits_per_shard,
-                k_hashes=k_hashes,
-            )
         )
         # ONE probe per batch: persist the flags, unpersist after writes
         flags = _probe_flags(
             batch_first, blooms, "content_sha",
             n_shards, bits_per_shard, k_hashes,
-            validate=bool(bloom_epochs),
+            validate=from_snapshot,
         ).persist()
         try:
             hit_shards = [
@@ -214,22 +241,19 @@ def stream_ingest_dedup(
                 F.count("content_sha").alias("n_nonnull"),
             ).collect()[0]
             # disjoint buckets — every arriving row lands in exactly one:
-            # NULL-key passthrough, within-batch dup, history dup, or new
-            s.createDataFrame(
-                [
-                    (
-                        int(batch_id),
-                        int(stats.n_in),
-                        int(n_null),
-                        int(stats.n_nonnull - n_distinct),
-                        int(n_batch_first - w_stats.n_total),
-                        int(w_stats.n_nonnull),
-                    )
-                ],
-                "batch_id long, n_in long, n_null_key long, "
-                "n_batch_dup long, n_history_dup long, n_new long",
-            ).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(metrics_path, epoch)
+            # NULL-key passthrough, within-batch dup, history dup, or new.
+            # Driver-side pyarrow write: a one-row accounting frame is
+            # not worth a Spark job (~3.5 s of scheduling per batch)
+            write_row_epoch(
+                os.path.join(metrics_path, epoch),
+                {
+                    "batch_id": int(batch_id),
+                    "n_in": int(stats.n_in),
+                    "n_null_key": int(n_null),
+                    "n_batch_dup": int(stats.n_nonnull - n_distinct),
+                    "n_history_dup": int(n_batch_first - w_stats.n_total),
+                    "n_new": int(w_stats.n_nonnull),
+                },
             )
             new_keys = (
                 written.select("content_sha")
@@ -251,9 +275,11 @@ def stream_ingest_dedup(
                 bits_per_shard=bits_per_shard,
                 k_hashes=k_hashes,
             )
-            merged = (
-                bloom_merge(blooms, delta) if bloom_epochs else delta
-            )
+            # unconditional merge: when no snapshot existed the blooms
+            # frame was built inline from history (empty on a true
+            # first batch, where the merge degenerates to the delta),
+            # so history bits are preserved in every branch
+            merged = bloom_merge(blooms, delta)
             merged.write.mode("overwrite").parquet(
                 os.path.join(blooms_path, epoch)
             )
@@ -262,8 +288,17 @@ def stream_ingest_dedup(
         # prune superseded snapshots KEEPING the latest prior one: the
         # stream checkpoint may not have committed this batch yet, and a
         # replay must still find a snapshot below it to resume from
-        for _, p in bloom_epochs[:-1]:
+        for _, p in _committed_epochs(blooms_path, batch_id)[:-1]:
             shutil.rmtree(p, ignore_errors=True)
+        # roll the cross-batch cache forward to the expected next batch
+        blooms.unpersist()
+        cache.update(
+            next=batch_id + 1,
+            key_dirs=key_dirs + [os.path.join(keys_path, epoch)],
+            blooms_df=s.read.schema(BLOOMS_SCHEMA)
+            .parquet(os.path.join(blooms_path, epoch))
+            .persist(),
+        )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

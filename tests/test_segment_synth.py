@@ -117,3 +117,21 @@ def test_broken_rows_pair_by_bytes_only(spark):
                                             "unique"}
     # at least one broken pair actually groups
     assert any(out[i] in ("exact", "canonical") for i in broken_ids)
+
+
+def test_media_pair_recall_is_one_on_planted_families(spark):
+    """The VERDICT r04 item-4 gate: the segment chain recalls EVERY
+    planted duplicate pair (family members, byte-identical broken
+    payloads) through the first-class dedup_pair_metrics operator —
+    pair_recall == 1.0 exactly, with the star-golden counts consistent
+    (n_hit == n_golden > 0)."""
+    import __spark_entry__ as e
+
+    [r] = e.queries()["segment_pair_metrics"](spark, SF_DIR).collect()
+    assert r["n_golden"] > 0
+    assert r["n_hit"] == r["n_golden"]
+    assert r["pair_recall"] == 1.0
+    # precision reflects the star-shaped label set vs the clique-fold
+    # prediction count, not a correctness defect: a 4-member family
+    # predicts C(4,2)=6 pairs against 3 golden star pairs
+    assert 0 < r["pair_precision"] <= 1.0

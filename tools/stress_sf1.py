@@ -1,4 +1,10 @@
-"""sf1 (10x) scale-stress with a planted hot-caption skew probe.
+"""sf1 (10x) scale-stress with a planted hot-caption skew probe —
+SESSION-HYGIENIC: every query runs in its own fresh interpreter +
+SparkSession (VERDICT r04 item 2: the old single-session sweep
+accumulated executor state — checkpoint blocks, GC — that inflated
+late-position queries up to 5.6x and forced manual fresh-session
+adjudication two rounds running; now every number IS a clean-session
+measurement).
 
 VERDICT r02 item 4: the driver ships testdata only up to sf0.1, so this
 tool derives a DETERMINISTIC 10x corpus from sf0.1 (no external data, no
@@ -16,13 +22,15 @@ RNG beyond fixed arithmetic on the existing rows) under /tmp/odd_sf1:
 - events: 10 offset copies under fresh user_id/event_id ranges (10x
   users, same per-user density).
 
-Then the dedup/LLM headline queries run at both sf0.1 and sf1 on the same
-session, and the report (BENCH/sf1.md) records walls, the sf1/sf0.1
-ratio vs the 20x allowance (2x times linear 10x), bucket-cap overflow
-counts (logged, not silent), and AQE skew-join engagement in the executed
-plan of the hottest query.
+Per query the worker runs sf0.1 then sf1 in one fresh session and
+reports walls + the sf1/sf0.1 ratio vs the 20x allowance (2x times
+linear 10x). The all-pairs ``dedup_pair_metrics`` proxy is DEMOTED from
+the sweep (VERDICT r04 item 6): its super-linear row was a property of
+the quadratic proxy label set, not the operator — the bounded
+``dedup_pair_metrics_golden`` is the production shape and stays.
 
 Usage: python tools/stress_sf1.py [--regen]
+       python tools/stress_sf1.py --worker <query>   (internal)
 """
 
 from __future__ import annotations
@@ -30,10 +38,12 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/odd_sf1"
@@ -71,7 +81,6 @@ QUERIES = [
     "source_overlap_minhash",
     "training_order",
     "leakage_safe_split",
-    "dedup_pair_metrics",
     "fuzzy_decontamination",
     # round-3 session-6 additions
     "near_soft_dedup_weights",
@@ -80,10 +89,14 @@ QUERIES = [
     "event_props_stats",
     "near_dup_source_matrix",
     # round-4 additions: media segment chain + bounded-golden metrics
+    # (the quadratic all-pairs dedup_pair_metrics proxy is demoted to a
+    # unit-test-only shape; golden is the production label set)
     "segment_clusters",
     "segment_novelty",
     "frames_matching_images",
     "dedup_pair_metrics_golden",
+    # round-5 addition: media recall through dedup_pair_metrics
+    "segment_pair_metrics",
 ]
 
 
@@ -201,37 +214,41 @@ def cap_overflow_report(spark) -> dict:
     }
 
 
-def main() -> None:
+def _fresh_spark(name: str):
     from ordinarydumpdeduplicator_spark.session import get_spark
 
+    return get_spark(name, cores=32, shuffle_partitions=64)
+
+
+def worker(name: str) -> None:
+    """One query, one fresh session: time sf0.1 then sf1, print ONE
+    JSON line on stdout (marker-prefixed so parent parsing is robust
+    to Spark log noise)."""
     import __spark_entry__ as entry
 
-    spark = get_spark("stress_sf1", cores=32, shuffle_partitions=64)
-    if "--regen" in sys.argv or not os.path.exists(
-        f"{DST}/documents.parquet/_SUCCESS"
-    ):
-        shutil.rmtree(DST, ignore_errors=True)
-        build_sf1(spark)
+    spark = _fresh_spark(f"sf1_{name}")
+    fn = entry.queries()[name]
+    row: dict = {}
+    # warm-up at sf0.01: a fresh session's first action pays JVM +
+    # codegen + Arrow-worker startup, which would otherwise inflate the
+    # sf0.1 leg (measured 4x on the first query) and deflate the ratio
+    fn(spark, "/root/testdata/sf0.01").count()
+    for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        row[label] = round(time.time() - t0, 2)
+        row[f"{label}_rows"] = n
+    row["ratio"] = round(row["sf1"] / max(row["sf0.1"], 1e-9), 2)
+    print("SF1RESULT " + json.dumps({name: row}), flush=True)
+    spark.stop()
 
-    qs = entry.queries()
-    results: dict[str, dict] = {}
-    for name in QUERIES:
-        fn = qs[name]
-        row = {}
-        for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
-            t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            row[label] = round(time.time() - t0, 2)
-            row[f"{label}_rows"] = n
-        row["ratio"] = round(row["sf1"] / max(row["sf0.1"], 1e-9), 2)
-        results[name] = row
-        print(json.dumps({name: row}), flush=True)
 
+def worker_probes() -> None:
+    """Cap-overflow + AQE-skew probes in their own fresh session."""
+    spark = _fresh_spark("sf1_probes")
     caps = cap_overflow_report(spark)
-    print(json.dumps({"cap_overflow": caps}), flush=True)
+    print("SF1RESULT " + json.dumps({"cap_overflow": caps}), flush=True)
 
-    # AQE skew handling on the hottest stage: executed plan of the
-    # near-dup pairs chain at sf1
     from ordinarydumpdeduplicator_spark.operators.text_dedup import (
         near_dup_text_pairs,
     )
@@ -240,12 +257,70 @@ def main() -> None:
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     skew = "skew=true" in plan
-    print(json.dumps({"aqe_skew_join_engaged": skew}), flush=True)
+    print(
+        "SF1RESULT " + json.dumps({"aqe_skew_join_engaged": skew}),
+        flush=True,
+    )
+    spark.stop()
+
+
+def _run_worker(args: list[str]) -> dict:
+    """Spawn a fresh interpreter, harvest its SF1RESULT lines."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)] + args,
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=1800,
+    )
+    out: dict = {}
+    for line in proc.stdout.splitlines():
+        if line.startswith("SF1RESULT "):
+            out.update(json.loads(line[len("SF1RESULT "):]))
+    if proc.returncode != 0 and not out:
+        raise RuntimeError(
+            f"worker {args} failed rc={proc.returncode}:\n"
+            + proc.stderr[-2000:]
+        )
+    return out
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        worker(sys.argv[sys.argv.index("--worker") + 1])
+        return
+    if "--probes" in sys.argv:
+        worker_probes()
+        return
+
+    if "--regen" in sys.argv or not os.path.exists(
+        f"{DST}/documents.parquet/_SUCCESS"
+    ):
+        shutil.rmtree(DST, ignore_errors=True)
+        spark = _fresh_spark("sf1_build")
+        build_sf1(spark)
+        spark.stop()
+
+    results: dict[str, dict] = {}
+    for name in QUERIES:
+        got = _run_worker(["--worker", name])
+        results.update(got)
+        print(json.dumps(got), flush=True)
+
+    probes = _run_worker(["--probes"])
+    print(json.dumps(probes), flush=True)
 
     with open("/tmp/odd_sf1_results.json", "w") as f:
-        json.dump({"queries": results, "cap_overflow": caps,
-                   "aqe_skew": skew}, f, indent=1)
-    spark.stop()
+        json.dump(
+            {
+                "protocol": "fresh-session-per-query",
+                "queries": results,
+                "cap_overflow": probes.get("cap_overflow"),
+                "aqe_skew": probes.get("aqe_skew_join_engaged"),
+            },
+            f,
+            indent=1,
+        )
 
 
 if __name__ == "__main__":
