@@ -174,6 +174,8 @@ def main() -> None:
         "segment_novelty",
         "frames_matching_images",
         "dedup_pair_metrics_golden",
+        # round 5: media recall through the first-class eval operator
+        "segment_pair_metrics",
     ]
     for name in headline:
         fn = qs[name]

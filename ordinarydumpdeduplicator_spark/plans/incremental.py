@@ -187,10 +187,11 @@ def incremental_caption_candidates(
 
 def incremental_caption_run(
     new_features: DataFrame,
-    corpus_captions: DataFrame,
+    corpus_captions: DataFrame | None,
     state: dict | None = None,
     bucket_cap: int = 256,
     jaccard_threshold: float = 0.5,
+    captions_resolver=None,
 ) -> dict:
     """One incremental batch of the caption near-dup pipeline.
 
@@ -199,6 +200,18 @@ def incremental_caption_run(
     corpus_captions: the cumulative images table (image_id, caption) —
     in production the Iceberg table itself; verification joins captions
     for both endpoints by id, old or new.
+    captions_resolver: optional callable (ids DataFrame with one
+    ``image_id`` column) -> (image_id, caption) frame covering AT LEAST
+    those ids. When given, verification fetches captions only for the
+    candidate pairs' endpoints instead of joining the whole corpus
+    table — the corpus captions store is the FAT side of this chain
+    (payload text), and the endpoint set is candidate-sized, so a
+    shard-clustered store serves the fetch with row-group pruning
+    (streaming/near_dup.pruned_caption_resolver) instead of two
+    corpus-wide shuffles per batch. ``corpus_captions`` may be None in
+    that case. Candidates are eagerly materialized first so the
+    resolver sees a concrete id set; extra rows the resolver returns
+    are ignored (the verify join is by id).
     state: previous batch's return value, or None for the first batch:
       reps    (caption_sha, rep)   exact-caption representative index
       bands   (id, band, key)      LSH band index (reps only)
@@ -265,9 +278,23 @@ def incremental_caption_run(
     cands, new_band_rows = incremental_caption_candidates(
         new_rep_feats, prev_bands, bucket_cap=bucket_cap
     )
+    if captions_resolver is not None:
+        # materialize the (candidate-sized) pair set so the resolver
+        # sees a concrete endpoint id list — without the cut the
+        # resolver's shard collect AND the verify join would each
+        # re-run the whole candidate enumeration
+        cands = cands.localCheckpoint(eager=True)
+        endpoint_ids = (
+            cands.select(F.col("src").alias("image_id"))
+            .unionByName(cands.select(F.col("dst").alias("image_id")))
+            .distinct()
+        )
+        caps = captions_resolver(endpoint_ids)
+    else:
+        caps = corpus_captions
     near = verify_caption_pairs(
         cands.select("src", "dst", "capped"),
-        corpus_captions,
+        caps,
         jaccard_threshold=jaccard_threshold,
     ).select("src", "dst")
     new_edges = star.unionByName(near)

@@ -12,7 +12,13 @@ State between batches lives in parquet tables under ``state_dir`` (in
 production: Iceberg tables, with the assignment overwrite becoming a
 MERGE by cluster_id — sources/merge.py):
 
-    captions/epoch=N/  (image_id, caption)      one dir per micro-batch
+    captions/epoch=N/  (image_id, caption)      one dir per micro-batch,
+                                                id-shard-clustered: the
+                                                verify stage fetches only
+                                                candidate endpoints' row
+                                                groups (pruned_caption_
+                                                resolver), never the
+                                                whole (fat) store
     reps/epoch=N/      (caption_sha, rep)       first-seen rep index delta
     bands/epoch=N/     (id, band, key)          LSH band index delta
     assign/epoch=N/    (image_id, cluster_id)   FULL snapshot; superseded
@@ -49,6 +55,7 @@ import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.features import extract_features
 from ..plans.incremental import incremental_caption_run
@@ -58,6 +65,47 @@ CAPTIONS_SCHEMA = "image_id string, caption string"
 REPS_SCHEMA = "caption_sha string, rep string"
 BANDS_SCHEMA = "id string, band int, key long"
 ASSIGN_SCHEMA = "image_id string, cluster_id string"
+CAPTION_SHARDS = 32
+_CAP_SHARD = "__shard"
+
+
+def pruned_caption_resolver(spark: SparkSession, caption_dirs: list[str]):
+    """Resolver for incremental_caption_run's caption fetches: given the
+    candidate pairs' endpoint ids, read ONLY their id-shards' row groups
+    of the shard-clustered caption store (plus a semi-join refinement) —
+    the captions table is the FAT store of this chain (payload text),
+    and the endpoint set is candidate-sized, so this replaces two
+    corpus-wide caption shuffles per micro-batch with a pruned fetch.
+    Epochs written before the clustering column existed read as NULL
+    shard and are never pruned (the legacy escape hatch, refined only
+    by the semi-join). A batch with no candidates reads ZERO caption
+    rows — the store is not touched at all."""
+
+    def resolve(ids: DataFrame) -> DataFrame:
+        shards = [
+            r["s"]
+            for r in ids.select(
+                F.pmod(F.xxhash64("image_id"), F.lit(CAPTION_SHARDS))
+                .cast("int")
+                .alias("s")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not shards or not caption_dirs:
+            return spark.createDataFrame([], CAPTIONS_SCHEMA)
+        return (
+            spark.read.schema(f"{CAPTIONS_SCHEMA}, {_CAP_SHARD} int")
+            .parquet(*caption_dirs)
+            .filter(
+                F.col(_CAP_SHARD).isin(shards)
+                | F.col(_CAP_SHARD).isNull()
+            )
+            .join(ids, "image_id", "left_semi")
+            .select("image_id", "caption")
+        )
+
+    return resolve
 
 _EPOCH_RE = re.compile(r"^epoch=(\d+)$")
 _MANIFEST = "_COMPACT_MANIFEST"
@@ -238,15 +286,6 @@ def compact_epoch_dirs(
     return len(merge)
 
 
-def _load_union(
-    spark: SparkSession, base: str, schema: str, below: int
-) -> DataFrame | None:
-    dirs = [p for _, p in _committed_epochs(base, below)]
-    if not dirs:
-        return None
-    return spark.read.schema(schema).parquet(*dirs)
-
-
 def load_assignments(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """The latest committed assignment snapshot (None before any batch)."""
     epochs = _committed_epochs(os.path.join(state_dir, "assign"))
@@ -274,20 +313,52 @@ def stream_near_dup_clusters(
     reps_path = os.path.join(state_dir, "reps")
     bands_path = os.path.join(state_dir, "bands")
     assign_path = os.path.join(state_dir, "assign")
+    # cross-batch cache of committed-epoch listings (append-only below
+    # the current epoch within a run; a replay/restart misses the cache
+    # and re-lists from disk)
+    cache: dict = {"next": None}
+
+    def _dirs_for(batch_id: int):
+        if cache.get("next") == batch_id:
+            return cache["cap"], cache["reps"], cache["bands"]
+        return (
+            [p for _, p in _committed_epochs(captions_path, batch_id)],
+            [p for _, p in _committed_epochs(reps_path, batch_id)],
+            [p for _, p in _committed_epochs(bands_path, batch_id)],
+        )
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         epoch = f"epoch={batch_id}"
-        batch_df.select("image_id", "caption").write.mode("overwrite").parquet(
-            os.path.join(captions_path, epoch)
+        cap_prior, reps_dirs, bands_dirs = _dirs_for(batch_id)
+        # captions are written id-shard-clustered so the verify stage's
+        # endpoint fetches prune row groups (pruned_caption_resolver)
+        (
+            batch_df.select("image_id", "caption")
+            .withColumn(
+                _CAP_SHARD,
+                F.pmod(F.xxhash64("image_id"), F.lit(CAPTION_SHARDS))
+                .cast("int"),
+            )
+            .repartition(_CAP_SHARD)
+            .sortWithinPartitions(_CAP_SHARD)
+            .write.mode("overwrite")
+            .parquet(os.path.join(captions_path, epoch))
         )
-        # verify joins captions for BOTH endpoints: prior epochs + this one
-        prior = [p for _, p in _committed_epochs(captions_path, batch_id)]
-        corpus_captions = s.read.schema(CAPTIONS_SCHEMA).parquet(
-            *(prior + [os.path.join(captions_path, epoch)])
+        # verify joins captions for BOTH endpoints: prior epochs + this
+        # one — fetched per candidate endpoint through the pruned
+        # resolver, never as a corpus-wide join
+        caption_dirs = cap_prior + [os.path.join(captions_path, epoch)]
+        reps = (
+            s.read.schema(REPS_SCHEMA).parquet(*reps_dirs)
+            if reps_dirs
+            else None
         )
-        reps = _load_union(s, reps_path, REPS_SCHEMA, batch_id)
-        bands = _load_union(s, bands_path, BANDS_SCHEMA, batch_id)
+        bands = (
+            s.read.schema(BANDS_SCHEMA).parquet(*bands_dirs)
+            if bands_dirs
+            else None
+        )
         assign_epochs = _committed_epochs(assign_path, batch_id)
         assign = (
             s.read.schema(ASSIGN_SCHEMA).parquet(assign_epochs[-1][1])
@@ -305,10 +376,11 @@ def stream_near_dup_clusters(
         )
         out = incremental_caption_run(
             extract_features(batch_df),
-            corpus_captions,
+            None,
             state,
             bucket_cap=bucket_cap,
             jaccard_threshold=jaccard_threshold,
+            captions_resolver=pruned_caption_resolver(s, caption_dirs),
         )
         # outputs are localCheckpoint-materialized inside the run, so the
         # writes below cannot invalidate what they were computed from
@@ -331,6 +403,12 @@ def stream_near_dup_clusters(
         # assignment). Steady state keeps exactly two snapshots.
         for _, p in assign_epochs[:-1]:
             shutil.rmtree(p, ignore_errors=True)
+        cache.update(
+            next=batch_id + 1,
+            cap=caption_dirs,
+            reps=reps_dirs + [os.path.join(reps_path, epoch)],
+            bands=bands_dirs + [os.path.join(bands_path, epoch)],
+        )
 
     writer = (
         read_image_stream(spark, input_path)

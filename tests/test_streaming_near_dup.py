@@ -149,3 +149,61 @@ def test_replay_after_prune_keeps_prior_assignments(spark, tiny_corpus, tmp_path
         star.select("src", "dst").unionByName(near.select("src", "dst"))
     )
     assert _assign_dict(load_assignments(spark, state)) == _assign_dict(ref)
+
+
+def test_pruned_caption_resolver_prunes_and_matches(spark, tiny_corpus,
+                                                    tmp_path):
+    """The verify stage's caption fetch reads only the candidate
+    endpoints' id shards (pushed IN literal on the clustering column)
+    and returns exactly the requested ids' captions; an empty id set
+    reads ZERO caption rows (pinned by corrupting the store)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from ordinarydumpdeduplicator_spark.streaming.near_dup import (
+        CAPTIONS_SCHEMA,
+        pruned_caption_resolver,
+    )
+
+    pdf, _ = tiny_corpus
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    os.makedirs(inp, exist_ok=True)
+    to_spark_images(spark, pdf.iloc[:120]).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    q = stream_near_dup_clusters(spark, inp, state, ck)
+    q.awaitTermination()
+
+    cap_dirs = [os.path.join(state, "captions", "epoch=0")]
+    full = {
+        r["image_id"]: r["caption"]
+        for r in spark.read.schema(CAPTIONS_SCHEMA)
+        .parquet(*cap_dirs)
+        .collect()
+    }
+    want_ids = sorted(full)[:7]
+    resolver = pruned_caption_resolver(spark, cap_dirs)
+    ids = spark.createDataFrame(
+        [(i,) for i in want_ids], "image_id string"
+    )
+    got = resolver(ids)
+    assert {
+        r["image_id"]: r["caption"] for r in got.collect()
+    } == {i: full[i] for i in want_ids}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "In(__shard" in plan or "EqualTo(__shard" in plan, plan
+    assert "IsNull(__shard)" in plan, plan  # legacy escape hatch rides
+
+    # zero-read on an empty candidate set: corrupt every caption part
+    # file — the resolver must still return an empty frame untouched
+    for p in glob.glob(
+        os.path.join(state, "captions", "**", "part-*.parquet"),
+        recursive=True,
+    ):
+        with open(p, "wb") as f:
+            f.write(b"garbage")
+    empty = resolver(ids.limit(0))
+    assert empty.count() == 0

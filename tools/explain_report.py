@@ -72,6 +72,8 @@ HEADLINE = [
     "segment_novelty",
     "frames_matching_images",
     "dedup_pair_metrics_golden",
+    # round 5: media recall through dedup_pair_metrics
+    "segment_pair_metrics",
 ]
 
 
