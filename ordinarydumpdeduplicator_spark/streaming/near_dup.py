@@ -57,6 +57,10 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.bloom_dedup import (
+    DEFAULT_BITS_PER_SHARD,
+    DEFAULT_K_HASHES,
+)
 from ..operators.features import extract_features
 from ..plans.incremental import incremental_caption_run
 from .inspection import read_image_stream
@@ -111,6 +115,71 @@ _EPOCH_RE = re.compile(r"^epoch=(\d+)$")
 _MANIFEST = "_COMPACT_MANIFEST"
 _TMP_SUFFIX = ".compacting"
 _PRE_SUFFIX = ".pre_compact"
+_STATE_SHARD = "__shard"
+STATE_SHARDS = 32
+BLOOMS_SCHEMA = (
+    "shard int, bits binary, n_shards int, bits_per_shard int, k_hashes int"
+)
+
+
+def _tree_bytes(dirs: list[str]) -> int:
+    """Total on-disk bytes under the given dirs (pure os-stat walk) —
+    the auto-prune policies' input."""
+    total = 0
+    for d in dirs:
+        for root, _, files in os.walk(d):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
+def _shard_of(key, n_shards: int = STATE_SHARDS):
+    """Bloom shard of a key column as a pure JVM expression: the
+    bloom's h1 is the little-endian int64 of the md5 digest, so
+    h1 mod 2^k (k <= 8) is the FIRST digest byte mod 2^k — the first
+    two hex chars of md5(key). Byte-equal to bloom_dedup._keyed's
+    pandas hashing (pinned by test_jvm_shard_expression_matches_bloom_
+    hashing); only power-of-two counts <= 256 are supported here."""
+    assert n_shards <= 256 and (n_shards & (n_shards - 1)) == 0
+    return (
+        F.conv(F.substring(F.md5(key), 1, 2), 16, 10).cast("int")
+        % F.lit(n_shards)
+    )
+
+
+def _rep_key(sha):
+    return F.concat(F.lit("s:"), sha)
+
+
+def _band_key(band, key):
+    return F.concat_ws(":", F.lit("b"), band, key)
+
+
+def _hit_shards_for(probes: DataFrame, blooms_df: DataFrame,
+                    n_shards: int, bits_per_shard: int,
+                    k_hashes: int) -> list[int]:
+    """Bloom-probe a one-column ``key`` frame, return the shards that
+    saw at least one hit (empty = nothing probed can be in the index,
+    bloom false negatives being impossible)."""
+    from ..operators.bloom_dedup import _probe_flags
+
+    flags = _probe_flags(
+        probes, blooms_df, "key", n_shards, bits_per_shard, k_hashes,
+        validate=False,
+    ).persist()
+    try:
+        return [
+            r.shard
+            for r in flags.filter("might_contain")
+            .select("shard")
+            .distinct()
+            .collect()
+        ]
+    finally:
+        flags.unpersist()
 
 
 def write_row_epoch(path: str, row: dict) -> None:
@@ -168,7 +237,13 @@ def recover_compaction(base: str) -> None:
       ``lo``); either way the loader sees exactly one complete ``lo``;
     - crash during cleanup: ``lo`` is the merged data and still carries
       the manifest -> re-run the cleanup (delete merged-away epochs,
-      the backup, the manifest)."""
+      the backup, the manifest).
+
+    Every os-op tolerates a CONCURRENT healer having gotten there
+    first (two loaders racing after a crash): a rename whose source
+    vanished or whose destination appeared is that exact situation,
+    and the post-condition it wanted already holds — skip and
+    continue."""
     if not os.path.isdir(base):
         return
     for d in os.listdir(base):
@@ -178,13 +253,17 @@ def recover_compaction(base: str) -> None:
         pre = os.path.join(base, d)
         tmp = lo + _TMP_SUFFIX
         if not os.path.isdir(lo):
-            if os.path.isdir(tmp) and os.path.exists(
-                os.path.join(tmp, "_SUCCESS")
-            ):
-                os.rename(tmp, lo)  # merge committed: roll forward
-            else:
-                os.rename(pre, lo)  # merge incomplete: roll back
-                shutil.rmtree(tmp, ignore_errors=True)
+            try:
+                if os.path.isdir(tmp) and os.path.exists(
+                    os.path.join(tmp, "_SUCCESS")
+                ):
+                    os.rename(tmp, lo)  # merge committed: roll forward
+                else:
+                    os.rename(pre, lo)  # merge incomplete: roll back
+                    shutil.rmtree(tmp, ignore_errors=True)
+            except OSError:
+                if not os.path.isdir(lo):
+                    raise  # not a concurrent heal: surface it
     for d in os.listdir(base):
         p = os.path.join(base, d)
         if d.endswith(_TMP_SUFFIX) or d.endswith(_PRE_SUFFIX):
@@ -195,7 +274,10 @@ def recover_compaction(base: str) -> None:
         elif _EPOCH_RE.match(d) and os.path.exists(
             os.path.join(p, _MANIFEST)
         ):
-            _finish_compaction_cleanup(base, p)
+            try:
+                _finish_compaction_cleanup(base, p)
+            except FileNotFoundError:
+                pass  # a concurrent healer finished the cleanup
 
 
 def _committed_epochs(base: str, below: int | None = None) -> list[tuple[int, str]]:
@@ -302,8 +384,26 @@ def stream_near_dup_clusters(
     available_now: bool = True,
     bucket_cap: int = 256,
     jaccard_threshold: float = 0.5,
+    prune_state: bool | None = None,
+    prune_min_state_bytes: int = 64 << 20,
+    n_shards: int = STATE_SHARDS,
+    bits_per_shard: int = DEFAULT_BITS_PER_SHARD,
+    k_hashes: int = DEFAULT_K_HASHES,
 ):
     """Start the streaming near-dup clustering query.
+
+    ``prune_state``: None (default) engages bloom-probed, shard-pruned
+    reads of the rep and band index stores once they exceed
+    ``prune_min_state_bytes`` on disk; True forces it, False forces
+    full-frame state reads (the pre-pruning behavior, kept for parity
+    testing). When engaged, a batch consults the rep index only for
+    its own caption shas' bloom-hit shards and the band index only for
+    the new reps' band keys' hit shards — a batch of entirely novel
+    captions reads ZERO index rows. The bloom snapshot
+    (``blooms/epoch=N``, latest prior retained as replay insurance) is
+    built lazily at first engagement from the stores themselves (sha
+    and band keys ARE the stores' own columns — no separate key store
+    needed) and kept fresh every batch once it exists, in any mode.
 
     Returns the StreamingQuery; after it finishes (availableNow) read the
     current assignments with ``load_assignments(spark, state_dir)`` —
@@ -313,24 +413,96 @@ def stream_near_dup_clusters(
     reps_path = os.path.join(state_dir, "reps")
     bands_path = os.path.join(state_dir, "bands")
     assign_path = os.path.join(state_dir, "assign")
-    # cross-batch cache of committed-epoch listings (append-only below
-    # the current epoch within a run; a replay/restart misses the cache
-    # and re-lists from disk)
+    blooms_path = os.path.join(state_dir, "blooms")
+    # cross-batch cache of committed-epoch listings + the loaded bloom
+    # snapshot (append-only below the current epoch within a run; a
+    # replay/restart misses the cache and re-lists from disk)
     cache: dict = {"next": None}
 
-    def _dirs_for(batch_id: int):
+    def _state_for(s: SparkSession, batch_id: int):
         if cache.get("next") == batch_id:
-            return cache["cap"], cache["reps"], cache["bands"]
+            return (
+                cache["cap"], cache["reps"], cache["bands"],
+                cache["blooms_df"], cache["bloom_snap"],
+                cache["state_bytes"],
+            )
+        cap = [p for _, p in _committed_epochs(captions_path, batch_id)]
+        reps_dirs = [
+            p for _, p in _committed_epochs(reps_path, batch_id)
+        ]
+        bands_dirs = [
+            p for _, p in _committed_epochs(bands_path, batch_id)
+        ]
+        snaps = _committed_epochs(blooms_path, batch_id)
+        snap = snaps[-1][1] if snaps else None
+        blooms_df = (
+            s.read.schema(BLOOMS_SCHEMA).parquet(snap).persist()
+            if snap is not None
+            else None
+        )
         return (
-            [p for _, p in _committed_epochs(captions_path, batch_id)],
-            [p for _, p in _committed_epochs(reps_path, batch_id)],
-            [p for _, p in _committed_epochs(bands_path, batch_id)],
+            cap, reps_dirs, bands_dirs, blooms_df, snap,
+            _tree_bytes(reps_dirs + bands_dirs),
         )
 
+    def _reps_resolver(s, reps_dirs, blooms_df):
+        def resolve(shas: DataFrame) -> DataFrame:
+            probes = (
+                shas.filter(F.col("caption_sha").isNotNull())
+                .select(_rep_key(F.col("caption_sha")).alias("key"))
+                .distinct()
+            )
+            hit = _hit_shards_for(
+                probes, blooms_df, n_shards, bits_per_shard, k_hashes
+            )
+            if not hit:
+                return s.createDataFrame([], REPS_SCHEMA)
+            return (
+                s.read.schema(f"{REPS_SCHEMA}, {_STATE_SHARD} int")
+                .parquet(*reps_dirs)
+                .filter(
+                    F.col(_STATE_SHARD).isin(hit)
+                    | F.col(_STATE_SHARD).isNull()
+                )
+                .select("caption_sha", "rep")
+            )
+
+        return resolve
+
+    def _bands_resolver(s, bands_dirs, blooms_df):
+        def resolve(keys: DataFrame) -> DataFrame:
+            probes = keys.select(
+                _band_key(F.col("band"), F.col("key")).alias("key")
+            ).distinct()
+            hit = _hit_shards_for(
+                probes, blooms_df, n_shards, bits_per_shard, k_hashes
+            )
+            if not hit:
+                return s.createDataFrame([], BANDS_SCHEMA)
+            return (
+                s.read.schema(f"{BANDS_SCHEMA}, {_STATE_SHARD} int")
+                .parquet(*bands_dirs)
+                .filter(
+                    F.col(_STATE_SHARD).isin(hit)
+                    | F.col(_STATE_SHARD).isNull()
+                )
+                .select("id", "band", "key")
+            )
+
+        return resolve
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.bloom_dedup import bloom_merge, bloom_shards
+
         s = batch_df.sparkSession
         epoch = f"epoch={batch_id}"
-        cap_prior, reps_dirs, bands_dirs = _dirs_for(batch_id)
+        (cap_prior, reps_dirs, bands_dirs, blooms_df, bloom_snap,
+         state_bytes) = _state_for(s, batch_id)
+        use_prune = (
+            prune_state
+            if prune_state is not None
+            else state_bytes >= prune_min_state_bytes
+        )
         # captions are written id-shard-clustered so the verify stage's
         # endpoint fetches prune row groups (pruned_caption_resolver)
         (
@@ -374,6 +546,11 @@ def stream_near_dup_clusters(
             if any(x is not None for x in (reps, bands, assign))
             else None
         )
+        # index-pruned state reads only when engaged AND a snapshot
+        # exists (first engagement on a legacy store full-scans once
+        # while the snapshot is built below); the full frames above
+        # stay LAZY — nothing executes them when the resolvers serve
+        pruned = use_prune and blooms_df is not None
         out = incremental_caption_run(
             extract_features(batch_df),
             None,
@@ -381,18 +558,109 @@ def stream_near_dup_clusters(
             bucket_cap=bucket_cap,
             jaccard_threshold=jaccard_threshold,
             captions_resolver=pruned_caption_resolver(s, caption_dirs),
+            reps_resolver=(
+                _reps_resolver(s, reps_dirs, blooms_df)
+                if pruned and reps_dirs
+                else None
+            ),
+            bands_resolver=(
+                _bands_resolver(s, bands_dirs, blooms_df)
+                if pruned and bands_dirs
+                else None
+            ),
         )
         # outputs are localCheckpoint-materialized inside the run, so the
-        # writes below cannot invalidate what they were computed from
-        out["new_reps"].write.mode("overwrite").parquet(
-            os.path.join(reps_path, epoch)
+        # writes below cannot invalidate what they were computed from;
+        # rep/band deltas are written key-shard-clustered so the pruned
+        # reads above serve future batches with row-group pruning
+        (
+            out["new_reps"]
+            .withColumn(
+                _STATE_SHARD,
+                _shard_of(_rep_key(F.col("caption_sha")), n_shards),
+            )
+            .repartition(_STATE_SHARD)
+            .sortWithinPartitions(_STATE_SHARD)
+            .write.mode("overwrite")
+            .parquet(os.path.join(reps_path, epoch))
         )
-        out["new_bands"].write.mode("overwrite").parquet(
-            os.path.join(bands_path, epoch)
+        (
+            out["new_bands"]
+            .withColumn(
+                _STATE_SHARD,
+                _shard_of(
+                    _band_key(F.col("band"), F.col("key")), n_shards
+                ),
+            )
+            .repartition(_STATE_SHARD)
+            .sortWithinPartitions(_STATE_SHARD)
+            .write.mode("overwrite")
+            .parquet(os.path.join(bands_path, epoch))
         )
         out["assign"].write.mode("overwrite").parquet(
             os.path.join(assign_path, epoch)
         )
+        # bloom maintenance: deferred until pruning engages; once a
+        # snapshot exists it is kept fresh every batch in every mode (a
+        # stale snapshot would hide index rows from future probes)
+        new_snap, new_blooms_df = bloom_snap, blooms_df
+        if use_prune or blooms_df is not None:
+            rep_delta_keys = (
+                s.read.schema(REPS_SCHEMA)
+                .parquet(os.path.join(reps_path, epoch))
+                .select(_rep_key(F.col("caption_sha")).alias("key"))
+            )
+            band_delta_keys = (
+                s.read.schema(BANDS_SCHEMA)
+                .parquet(os.path.join(bands_path, epoch))
+                .select(
+                    _band_key(F.col("band"), F.col("key")).alias("key")
+                )
+            )
+            if blooms_df is None:
+                # first engagement: the stores' own columns ARE the
+                # keys — one pass over reps+bands (this epoch included)
+                rep_delta_keys = (
+                    s.read.schema(REPS_SCHEMA)
+                    .parquet(
+                        *(reps_dirs + [os.path.join(reps_path, epoch)])
+                    )
+                    .select(_rep_key(F.col("caption_sha")).alias("key"))
+                )
+                band_delta_keys = (
+                    s.read.schema(BANDS_SCHEMA)
+                    .parquet(
+                        *(bands_dirs + [os.path.join(bands_path, epoch)])
+                    )
+                    .select(
+                        _band_key(F.col("band"), F.col("key")).alias(
+                            "key"
+                        )
+                    )
+                )
+            delta = bloom_shards(
+                rep_delta_keys.unionByName(band_delta_keys).distinct(),
+                "key",
+                n_shards=n_shards,
+                bits_per_shard=bits_per_shard,
+                k_hashes=k_hashes,
+            )
+            merged = (
+                bloom_merge(blooms_df, delta)
+                if blooms_df is not None
+                else delta
+            )
+            merged.write.mode("overwrite").parquet(
+                os.path.join(blooms_path, epoch)
+            )
+            for _, p in _committed_epochs(blooms_path, batch_id)[:-1]:
+                shutil.rmtree(p, ignore_errors=True)
+            if blooms_df is not None:
+                blooms_df.unpersist()
+            new_snap = os.path.join(blooms_path, epoch)
+            new_blooms_df = (
+                s.read.schema(BLOOMS_SCHEMA).parquet(new_snap).persist()
+            )
         # prune superseded snapshots, KEEPING the latest one below this
         # epoch: "this epoch's parquet committed" is weaker than "the
         # stream checkpoint committed this batch" — if the process dies
@@ -403,11 +671,17 @@ def stream_near_dup_clusters(
         # assignment). Steady state keeps exactly two snapshots.
         for _, p in assign_epochs[:-1]:
             shutil.rmtree(p, ignore_errors=True)
+        new_reps_dir = os.path.join(reps_path, epoch)
+        new_bands_dir = os.path.join(bands_path, epoch)
         cache.update(
             next=batch_id + 1,
             cap=caption_dirs,
-            reps=reps_dirs + [os.path.join(reps_path, epoch)],
-            bands=bands_dirs + [os.path.join(bands_path, epoch)],
+            reps=reps_dirs + [new_reps_dir],
+            bands=bands_dirs + [new_bands_dir],
+            blooms_df=new_blooms_df,
+            bloom_snap=new_snap,
+            state_bytes=state_bytes
+            + _tree_bytes([new_reps_dir, new_bands_dir]),
         )
 
     writer = (

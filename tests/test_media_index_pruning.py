@@ -229,6 +229,22 @@ def test_jvm_shard_expression_matches_bloom_hashing(spark):
     }
     assert fb == slow12
 
+    # the caption-stream twin of the same expression
+    from ordinarydumpdeduplicator_spark.streaming.near_dup import _shard_of
+
+    for n_shards in (8, 32, 256):
+        nd = {
+            r["key"]: r["shard"]
+            for r in keys.select(
+                "key", _shard_of(F.col("key"), n_shards).alias("shard")
+            ).collect()
+        }
+        slow = {
+            r["__key"]: r["shard"]
+            for r in _keyed(keys.select("key"), "key", n_shards).collect()
+        }
+        assert nd == slow, n_shards
+
 
 def test_legacy_state_migrates_to_pruned_index(spark, tmp_path):
     """A state dir written before the probe-key store existed (or whose

@@ -207,3 +207,93 @@ def test_pruned_caption_resolver_prunes_and_matches(spark, tiny_corpus,
             f.write(b"garbage")
     empty = resolver(ids.limit(0))
     assert empty.count() == 0
+
+
+def test_pruned_state_matches_full_scan(spark, tiny_corpus, tmp_path):
+    """prune_state=True (bloom-probed, shard-pruned rep/band index
+    reads) must yield assignments identical to the full-frame path on
+    the same waves, across a restart."""
+    pdf, _ = tiny_corpus
+    results = {}
+    for mode in (True, False):
+        inp = str(tmp_path / f"in_{mode}")
+        state = str(tmp_path / f"state_{mode}")
+        ck = str(tmp_path / f"ck_{mode}")
+        os.makedirs(inp, exist_ok=True)
+
+        def run_once():
+            q = stream_near_dup_clusters(
+                spark, inp, state, ck, prune_state=mode
+            )
+            q.awaitTermination()
+
+        to_spark_images(spark, pdf.iloc[:120]).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        run_once()
+        to_spark_images(spark, pdf.iloc[120:200]).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        run_once()
+        results[mode] = _assign_dict(load_assignments(spark, state))
+    assert results[True] == results[False]
+
+
+def test_pruned_state_novel_batch_reads_zero_index_rows(
+    spark, tiny_corpus, tmp_path
+):
+    """With pruning engaged, a batch of entirely novel captions never
+    touches the rep/band index stores: corrupt every part file of both
+    and the batch must still complete with correct state."""
+    import glob
+
+    pdf, _ = tiny_corpus
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    os.makedirs(inp, exist_ok=True)
+
+    def run_once():
+        q = stream_near_dup_clusters(
+            spark, inp, state, ck, prune_state=True
+        )
+        q.awaitTermination()
+
+    to_spark_images(spark, pdf.iloc[:120]).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_once()
+
+    for sub in ("reps", "bands"):
+        parts = glob.glob(
+            os.path.join(state, sub, "**", "part-*.parquet"),
+            recursive=True,
+        )
+        assert parts
+        for p in parts:
+            with open(p, "wb") as f:
+                f.write(b"garbage")
+
+    # a disjoint fixture slice: fresh ids, fresh captions — every rep
+    # sha and band key is a bloom miss, so neither store is read
+    to_spark_images(spark, pdf.iloc[120:160]).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_once()  # completing at all proves zero index reads
+
+    # and the state it produced matches an uncorrupted twin run
+    inp2 = str(tmp_path / "in2")
+    state2 = str(tmp_path / "state2")
+    ck2 = str(tmp_path / "ck2")
+    os.makedirs(inp2, exist_ok=True)
+    for lo, hi in ((0, 120), (120, 160)):
+        to_spark_images(spark, pdf.iloc[lo:hi]).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp2)
+        q = stream_near_dup_clusters(
+            spark, inp2, state2, ck2, prune_state=True
+        )
+        q.awaitTermination()
+    assert _assign_dict(load_assignments(spark, state)) == _assign_dict(
+        load_assignments(spark, state2)
+    )
