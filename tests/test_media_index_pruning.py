@@ -332,3 +332,32 @@ def test_auto_policy_engages_by_index_size(spark, tmp_path):
         assert has_bloom == (thresh == 0), (label, has_bloom)
     assert results["on"] == results["off"]
     assert ("b", "ref_dup", "a") in results["on"]
+
+
+def test_prune_modes_interchangeable_on_one_state_dir(spark, tmp_path):
+    """The docstring's claim that prune modes are freely
+    interchangeable on one state dir: waves alternating
+    full-scan -> pruned -> full-scan keep deduping correctly (the
+    key store is maintained in every mode; a snapshot, once created,
+    stays fresh even in full-scan mode)."""
+    inp, state, ck = (str(tmp_path / d) for d in ("in", "state", "ck"))
+    os.makedirs(inp, exist_ok=True)
+
+    _write_wave(spark, inp, [("a", _avi("x"))])
+    _run_once(spark, inp, state, ck, prune=False)   # full scan
+    _write_wave(spark, inp, [("b", _avi("x", fps=25)), ("c", _avi("y"))])
+    _run_once(spark, inp, state, ck, prune=True)    # builds + probes bloom
+    _write_wave(spark, inp, [("d", _avi("y", fps=30))])
+    _run_once(spark, inp, state, ck, prune=False)   # keeps snapshot fresh
+    _write_wave(spark, inp, [("e", _avi("x", fps=15)), ("f", _avi("w"))])
+    _run_once(spark, inp, state, ck, prune=True)    # probes again
+
+    v = {
+        r["video_id"]: (r["outcome"], r["match_ref_id"])
+        for r in load_media_verdicts(spark, state).collect()
+    }
+    assert v["b"] == ("ref_dup", "a")
+    assert v["c"][0] == "novel"
+    assert v["d"] == ("ref_dup", "c")
+    assert v["e"] == ("ref_dup", "a")
+    assert v["f"][0] == "novel"
